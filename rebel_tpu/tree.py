@@ -37,7 +37,7 @@ NO_CHILD = -1
 VIRTUAL_ROOT_BID = -2
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit-static
 class TreeSpec:
     """Immutable SoA public tree.  All arrays are host numpy; solvers bake
     them into XLA programs as constants."""
