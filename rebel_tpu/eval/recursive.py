@@ -1,0 +1,298 @@
+"""Recursive (nested) subgame solving over the full game tree.
+
+Re-design of the reference's recursive strategy builders
+(/root/reference/csrc/liars_dice/recursive_solving.cc:47-156, 277-327)
+used by evaluation: the reference recurses node-by-node, building a fresh
+C++ solver per subgame.  Here all subgames share one masked supertree
+topology, so each *frontier* of the recursion is solved as a single
+vmapped batch on device; only the tree bookkeeping stays on host.
+
+Per-subgame random stop iterations (the training-time emulation used by
+``compute_sampled_strategy_recursive_to_leaf``,
+recursive_solving.cc:301-327) are realized by running the full iteration
+scan and snapshotting each lane's strategies at its own ``t`` — identical
+results to stopping at ``t``, with no shape raggedness.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rebel_tpu.games.liars_dice import INITIAL_ACTION, LiarsDice
+from rebel_tpu.solving.core import RootCtx, SolverContext, ValueFn, reach_eps
+from rebel_tpu.solving.params import SubgameSolvingParams
+from rebel_tpu.solving.solver import build_solver
+from rebel_tpu.tree import NO_CHILD, TreeSpec, build_supertree, unroll_tree
+
+
+def _normalize_safe_np(x: np.ndarray, eps: float) -> np.ndarray:
+    x = x + eps
+    return x / x.sum(-1, keepdims=True)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class BatchSubgameSolver:
+    """Jitted, vmapped ``multistep`` with per-lane stop-iteration
+    snapshots on a shared supertree."""
+
+    game: LiarsDice
+    params: SubgameSolvingParams
+    dtype: jnp.dtype = jnp.float64
+    value_fn: ValueFn | None = None
+    max_depth: int | None = None  # default: params.max_depth
+
+    def __post_init__(self):
+        depth = self.params.max_depth if self.max_depth is None else self.max_depth
+        depth = min(depth, self.game.max_depth)
+        tree = build_supertree(self.game, depth)
+        ctx = SolverContext(game=self.game, tree=tree, dtype=self.dtype)
+        solver = build_solver(ctx, self.params, self.value_fn)
+        object.__setattr__(self, "ctx", ctx)
+        object.__setattr__(self, "tree", tree)
+        object.__setattr__(self, "solver", solver)
+
+        def solve_one(bid, player, beliefs, t):
+            root = RootCtx.of(self.game, bid, player)
+            state = solver.init(root, beliefs)
+            snap_avg = solver.average_strategy(state)
+            snap_samp = solver.sampling_strategy(state)
+
+            def body(carry, it):
+                st, sa, ss = carry
+                take = it == t
+                sa = jnp.where(take, solver.average_strategy(st), sa)
+                ss = jnp.where(take, solver.sampling_strategy(st), ss)
+                st = solver.step(st, it % 2, root)
+                return (st, sa, ss), None
+
+            (state, snap_avg, snap_samp), _ = jax.lax.scan(
+                body, (state, snap_avg, snap_samp),
+                jnp.arange(self.params.num_iters),
+            )
+            done = t == self.params.num_iters
+            snap_avg = jnp.where(done, solver.average_strategy(state), snap_avg)
+            snap_samp = jnp.where(
+                done, solver.sampling_strategy(state), snap_samp
+            )
+            # Beliefs at every node under the belief-propagation strategy
+            # (== sampling strategy, subgame_solving.cc:682-688): path
+            # products of the per-node policies == reach probabilities.
+            reach0 = ctx.compute_reaches(snap_samp, beliefs[0], 0, root)
+            reach1 = ctx.compute_reaches(snap_samp, beliefs[1], 1, root)
+            return snap_avg, snap_samp, jnp.stack([reach0, reach1])
+
+        self_jit = jax.jit(jax.vmap(solve_one))
+        object.__setattr__(self, "_solve", self_jit)
+
+    def solve(self, bids, players, beliefs, stop_iters=None, chunk: int = 256):
+        """bids/players [B], beliefs [B, 2, H], stop_iters [B] (None =
+        full solve).  Returns (avg [B,N,H,A], sampling [B,N,H,A],
+        reaches [B,2,N,H]).  Solved in fixed-size padded chunks so one
+        compiled program serves any frontier size."""
+        B = int(np.shape(bids)[0])
+        if stop_iters is None:
+            stop_iters = np.full((B,), self.params.num_iters, np.int32)
+        bids = np.asarray(bids, np.int32)
+        players = np.asarray(players, np.int32)
+        beliefs = np.asarray(beliefs)
+        stop_iters = np.asarray(stop_iters, np.int32)
+
+        chunk = min(chunk, max(B, 1))
+        outs = []
+        for lo in range(0, B, chunk):
+            hi = min(lo + chunk, B)
+            pad = chunk - (hi - lo)
+            sl = slice(lo, hi)
+            pad_rows = lambda x: np.concatenate(
+                [x[sl]] + ([x[lo : lo + 1]] * pad if pad else []), axis=0
+            )
+            out = self._solve(
+                jnp.asarray(pad_rows(bids)),
+                jnp.asarray(pad_rows(players)),
+                jnp.asarray(pad_rows(beliefs), self.dtype),
+                jnp.asarray(pad_rows(stop_iters)),
+            )
+            outs.append(jax.tree.map(lambda x: np.asarray(x)[: hi - lo], out))
+        return tuple(
+            np.concatenate([o[k] for o in outs], axis=0) for k in range(3)
+        )
+
+
+def _map_supertree_to_full(
+    sup: TreeSpec, full: TreeSpec, full_root: int
+) -> np.ndarray:
+    """For a subgame rooted at full-tree node ``full_root``, map each
+    supertree node id to the corresponding full-tree node id (NO_CHILD for
+    invalid/unreachable).  Mirrors the BFS index correspondence the
+    reference relies on (recursive_solving.cc:104-125) but across our two
+    static topologies, matching child-by-child on action ids."""
+    m = np.full(sup.num_nodes, NO_CHILD, np.int64)
+    m[0] = full_root
+    for s in range(1, sup.num_nodes):
+        p = m[sup.parent[s]]
+        if p == NO_CHILD:
+            continue
+        a = sup.last_bid[s]
+        m[s] = full.child_index[p, a]
+    return m
+
+
+def _solve_frontier(
+    bsolver: BatchSubgameSolver,
+    frontier: list[tuple[int, np.ndarray]],
+    full: TreeSpec,
+    rng: np.random.RandomState | None,
+    iteration_weights: np.ndarray | None,
+):
+    """Solve a frontier of subgames in one padded vmapped batch."""
+    game = bsolver.game
+    B = len(frontier)
+    bids = np.array([full.last_bid[n] for n, _ in frontier], np.int32)
+    players = np.array(
+        [full.node_player(n) for n, _ in frontier], np.int32
+    )
+    beliefs = np.stack([b for _, b in frontier])
+    if iteration_weights is not None:
+        # Per-subgame stop iteration with linear weights over even
+        # iterations (recursive_solving.cc:305-318).
+        p = iteration_weights / iteration_weights.sum()
+        stops = rng.choice(len(iteration_weights), size=B, p=p).astype(np.int32)
+    else:
+        stops = None
+    return bids, players, bsolver.solve(bids, players, beliefs, stops)
+
+
+def compute_strategy_recursive(
+    game: LiarsDice,
+    params: SubgameSolvingParams,
+    value_fn: ValueFn | None = None,
+    dtype=jnp.float64,
+) -> np.ndarray:
+    """Root-policy-only recursion (compute_strategy_recursive,
+    recursive_solving.cc:47-74): every non-terminal full-tree node gets the
+    root policy of a fresh subgame solved at that node; children recurse
+    with Bayes-updated beliefs.  Returns [N_full, H, A]."""
+    full = unroll_tree(game)
+    bsolver = BatchSubgameSolver(game, params, dtype, value_fn)
+    eps = reach_eps(dtype)
+    H, A = game.num_hands, game.num_actions
+    strategy = np.zeros((full.num_nodes, H, A))
+
+    frontier = [(0, np.full((2, H), 1.0 / H))]
+    while frontier:
+        frontier = [
+            (n, b) for n, b in frontier if not full.is_terminal[n]
+        ]
+        if not frontier:
+            break
+        bids, players, (avg, _, _) = _solve_frontier(
+            bsolver, frontier, full, None, None
+        )
+        avg = np.asarray(avg)
+        next_frontier = []
+        for i, (n, beliefs) in enumerate(frontier):
+            root_policy = avg[i, 0]  # [H, A]
+            strategy[n] = root_policy
+            pid = full.node_player(n)
+            lo = int(full.first_action[n])
+            for k in range(int(full.num_children[n])):
+                a = lo + k
+                child = int(full.children_begin[n]) + k
+                nb = beliefs.copy()
+                nb[pid] = _normalize_safe_np(
+                    beliefs[pid] * root_policy[:, a], eps
+                )
+                next_frontier.append((child, nb))
+        frontier = next_frontier
+    return strategy
+
+
+def compute_strategy_recursive_to_leaf(
+    game: LiarsDice,
+    params: SubgameSolvingParams,
+    value_fn: ValueFn | None = None,
+    use_sampling_strategy: bool = False,
+    sample_iters_seed: int | None = None,
+    dtype=jnp.float64,
+) -> np.ndarray:
+    """Whole-subgame-copy recursion (compute_strategy_recursive_to_leaf,
+    recursive_solving.cc:76-134): copy the entire subgame policy into the
+    full tree; recurse only at the subgame's non-terminal leaves with
+    beliefs propagated along the subgame path.
+
+    With ``sample_iters_seed`` set this becomes
+    ``compute_sampled_strategy_recursive_to_leaf``
+    (recursive_solving.cc:301-327): each subgame stops at a random even
+    iteration with linear weights, and the *sampling* strategy is copied
+    (``use_sampling_strategy=True`` implied by the reference call site).
+    """
+    full = unroll_tree(game)
+    bsolver = BatchSubgameSolver(game, params, dtype, value_fn)
+    sup = bsolver.tree
+    eps = reach_eps(dtype)
+    H, A = game.num_hands, game.num_actions
+    strategy = np.zeros((full.num_nodes, H, A))
+
+    rng = None
+    iteration_weights = None
+    if sample_iters_seed is not None:
+        rng = np.random.RandomState(sample_iters_seed)
+        iteration_weights = np.array(
+            [0.0 if i % 2 else i / 2.0 + 1 for i in range(params.num_iters)]
+        )
+        use_sampling_strategy = True
+
+    frontier = [(0, np.full((2, H), 1.0 / H))]
+    while frontier:
+        frontier = [(n, b) for n, b in frontier if not full.is_terminal[n]]
+        if not frontier:
+            break
+        bids, players, (avg, samp, reaches) = _solve_frontier(
+            bsolver, frontier, full, rng, iteration_weights
+        )
+        copy_strat = np.asarray(samp if use_sampling_strategy else avg)
+        reaches = np.asarray(reaches)  # [B, 2, N_sup, H]
+        next_frontier = []
+        for i, (n, _) in enumerate(frontier):
+            m = _map_supertree_to_full(sup, full, n)
+            valid = m != NO_CHILD
+            strategy[m[valid]] = copy_strat[i][valid]
+            # Recurse at non-terminal subgame leaves with the path-product
+            # beliefs, normalized (recursive_solving.cc:126-132).
+            for s in np.nonzero(valid & sup.is_leaf & ~sup.is_terminal)[0]:
+                fn = int(m[s])
+                if full.num_children[fn] == 0:
+                    continue  # full-tree leaf: nothing below
+                nb = np.stack(
+                    [
+                        _normalize_safe_np(reaches[i, 0, s], eps),
+                        _normalize_safe_np(reaches[i, 1, s], eps),
+                    ]
+                )
+                next_frontier.append((fn, nb))
+        frontier = next_frontier
+    return strategy
+
+
+def compute_sampled_strategy_recursive_to_leaf(
+    game: LiarsDice,
+    params: SubgameSolvingParams,
+    value_fn: ValueFn | None = None,
+    seed: int = 0,
+    dtype=jnp.float64,
+) -> np.ndarray:
+    """Training-time-emulating sampled strategy
+    (recursive_solving.cc:301-327)."""
+    return compute_strategy_recursive_to_leaf(
+        game,
+        params,
+        value_fn,
+        use_sampling_strategy=True,
+        sample_iters_seed=seed,
+        dtype=dtype,
+    )

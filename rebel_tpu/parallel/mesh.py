@@ -1,0 +1,180 @@
+"""Multi-chip SPMD training over a ``jax.sharding.Mesh``.
+
+The reference scales by OS threads within a host and fully independent
+Slurm ranks across hosts (no gradient sync anywhere —
+/root/reference/cfvpy/selfplay.py:58-72, heyhi/__init__.py:361-406; each
+rank even keeps its own replay buffer).  The TPU-native design is a
+single SPMD program over a ``data`` mesh axis:
+
+* self-play lanes are sharded over ``data`` — each device advances its
+  own lanes with its own RNG (replacing per-rank seeds,
+  selfplay.py:224,250);
+* each device keeps a *local* replay ring fed by its local lanes (the
+  honest analog of the reference's per-rank buffers, now inside one
+  program);
+* the learner samples a local sub-batch per device and all-reduces
+  gradients over ICI (``psum``) — an intentional upgrade over the
+  reference's unsynced ranks (SURVEY §2.4);
+* params/opt state are replicated (the CFV MLP is tiny; no TP needed).
+
+Everything is expressed with ``shard_map`` so collectives are explicit
+and the same code runs on 1 chip, 1 host, or a multi-host slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rebel_tpu.selfplay import replay as rb
+from rebel_tpu.selfplay.runner import EpisodeState
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place a batch-leading pytree sharded over the mesh axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding), tree
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+class SpmdState(NamedTuple):
+    params: Any  # replicated
+    opt_state: Any  # replicated
+    episodes: EpisodeState  # [B] sharded over data
+    replay: rb.Replay  # rows sharded over data (local ring per device)
+    keys: jax.Array  # [n_dev, 2] one PRNG key per device
+
+
+def make_spmd_programs(trainer, mesh: Mesh, axis: str = "data"):
+    """Build (init_fn, train_epoch_fn) shard_map'd over ``mesh``.
+
+    ``trainer`` is a :class:`rebel_tpu.training.trainer.Trainer`; its cfg
+    sizes are GLOBAL (lanes and batch are divided across devices).
+    """
+    cfg = trainer.cfg
+    game = trainer.game
+    engine = trainer.engine
+    net_spec = trainer.net_spec
+    opt = trainer.opt
+    n_dev = mesh.devices.size
+    assert cfg.selfplay_batch % n_dev == 0, "lanes must divide devices"
+    assert cfg.train_batch_size % n_dev == 0, "batch must divide devices"
+    local_lanes = cfg.selfplay_batch // n_dev
+    local_batch = cfg.train_batch_size // n_dev
+    local_capacity = max(cfg.replay_capacity // n_dev, 4 * local_batch)
+
+    def init_state(seed: int = 0) -> SpmdState:
+        key = jax.random.PRNGKey(seed)
+        k_net, k_dev = jax.random.split(key)
+        params = replicate(mesh, trainer.net_spec.init_params(k_net))
+        opt_state = replicate(mesh, opt.init(params))
+        episodes = shard_batch(
+            mesh,
+            EpisodeState.initial_batch(
+                game, cfg.selfplay_batch, cfg.solver_dtype
+            ),
+        )
+        # Global replay with n_dev * local_capacity rows, sharded by row;
+        # head/size/num_add are per-device vectors (one local ring each).
+        base = rb.create(
+            n_dev * local_capacity, game.query_size, game.num_hands
+        )
+        replay = shard_batch(
+            mesh,
+            base._replace(
+                head=jnp.zeros((n_dev,), jnp.int32),
+                size=jnp.zeros((n_dev,), jnp.int32),
+                num_add=jnp.zeros((n_dev,), jnp.int32),
+            ),
+        )
+        keys = shard_batch(mesh, jax.random.split(k_dev, n_dev))
+        return SpmdState(params, opt_state, episodes, replay, keys)
+
+    replay_specs = rb.Replay(
+        queries=P(axis), values=P(axis), priorities=P(axis),
+        head=P(axis), size=P(axis), num_add=P(axis),
+    )
+
+    def _local_replay(replay):
+        return replay._replace(
+            head=replay.head[0], size=replay.size[0], num_add=replay.num_add[0]
+        )
+
+    def _global_replay(replay):
+        return replay._replace(
+            head=replay.head[None], size=replay.size[None],
+            num_add=replay.num_add[None],
+        )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), EpisodeState(P(axis), P(axis), P(axis)), replay_specs,
+                  P(axis)),
+        out_specs=(EpisodeState(P(axis), P(axis), P(axis)), replay_specs,
+                   P(axis)),
+        check_vma=False,
+    )
+    def gen_step(params, episodes, replay, keys):
+        """One lockstep engine step on this device's lanes; examples go
+        to the device-local ring."""
+        replay = _local_replay(replay)
+        key, k = jax.random.split(keys[0])
+        value_fn = net_spec.value_fn(params)
+        lane_keys = jax.random.split(k, local_lanes)
+        episodes, out = engine.batch_step(episodes, lane_keys, value_fn)
+        q = out.queries.reshape(-1, game.query_size)
+        v = out.values.reshape(-1, game.num_hands)
+        replay = rb.add(replay, q, v, 1.0, cfg.replay_alpha)
+        return episodes, _global_replay(replay), key[None]
+
+    def _loss(params, queries, targets):
+        from rebel_tpu.training.trainer import huber
+
+        pred = net_spec.module.apply(params, queries)
+        err = targets - pred
+        per_ex = (huber(err) if cfg.loss == "huber" else err * err).mean(-1)
+        return per_ex.mean()
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), replay_specs, P(axis)),
+        out_specs=(P(), P(), P(axis), P()),
+        check_vma=False,
+    )
+    def train_step(params, opt_state, replay, keys):
+        """Local sub-batch per device; grads psum'd over the mesh so the
+        replicated params stay identical (the reference's DataParallel
+        analog, selfplay.py:84-87, upgraded to cross-host)."""
+        replay = _local_replay(replay)
+        key, k = jax.random.split(keys[0])
+        sample = rb.sample_uniform(replay, k, local_batch)
+        loss, grads = jax.value_and_grad(_loss)(
+            params, sample.queries, sample.values
+        )
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, key[None], loss
+
+    return init_state, jax.jit(gen_step), jax.jit(train_step)

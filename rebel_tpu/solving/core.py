@@ -109,6 +109,10 @@ class SolverContext:
     game: LiarsDice
     tree: TreeSpec
     dtype: jnp.dtype = jnp.float32
+    # Reference-parity mode: round win probabilities through float32 like
+    # the reference does (`const float prob_to_win`,
+    # subgame_solving.cc:785).  Only meaningful with dtype=float64.
+    terminal_f32_parity: bool = False
 
     # ----------------------------------------------------------- properties
     @property
@@ -189,18 +193,37 @@ class SolverContext:
         root: RootCtx,
     ) -> jnp.ndarray:
         """[T, H] traverser values at the static terminal set
-        (subgame_solving.cc:80-98, 765-789): payoff is the expected win/loss
-        of the challenged bid against the opponent's (unnormalized) reach
-        distribution, sign-flipped when the traverser is the liar-caller."""
-        t = self.tree
+        (subgame_solving.cc:80-98, 765-789).
+
+        Algorithm mirrors ``compute_win_probability``: bucket the
+        opponent's reach mass by match count (one small matmul), suffix-sum
+        the buckets, and look up ``quantity - own_matches`` — O(H * D)
+        per terminal instead of the naive O(H^2) pairing.  Payoff is
+        ``2 * P(win) - sum(op_reach)``, sign-flipped when the traverser is
+        the liar-caller."""
+        game, t = self.game, self.tree
         tids = t.terminal_ids
         if tids.size == 0:
             return jnp.zeros((0, self.H), self.dtype)
+        D = game.total_num_dice
+        bids = t.challenged_bid[tids]  # np [T]
+        faces = bids % game.num_faces
+        quantities = 1 + bids // game.num_faces
+        m = game.matches_table  # np [H, F]
+        own_matches = m[:, faces].T  # np [T, H]
+        # One-hot bucket matrix per terminal: [T, H, D+1].
+        bucket_onehot = jnp.asarray(
+            own_matches[:, :, None] == np.arange(D + 1)[None, None, :],
+            self.dtype,
+        )
         r = opp_reach[jnp.asarray(tids)]  # [T, H]
-        payoff = jnp.asarray(
-            self.game.terminal_payoff[t.challenged_bid[tids]], self.dtype
-        )  # [T, H, H]
-        v = jnp.einsum("tho,to->th", payoff, r)
+        buckets = jnp.einsum("to,toj->tj", r, bucket_onehot)  # [T, D+1]
+        cum = jnp.cumsum(buckets[:, ::-1], axis=-1)[:, ::-1]  # suffix sums
+        left_to_win = np.clip(quantities[:, None] - own_matches, 0, D)
+        p_win = jnp.take_along_axis(cum, jnp.asarray(left_to_win), axis=-1)
+        if self.terminal_f32_parity:
+            p_win = p_win.astype(jnp.float32).astype(self.dtype)
+        v = p_win * 2 - r.sum(-1, keepdims=True)
         term_player = self.node_player(t.depth[tids], root)
         sign = jnp.where(term_player == traverser, 1.0, -1.0).astype(self.dtype)
         return v * sign[:, None]

@@ -1,0 +1,415 @@
+"""Fused actor-learner self-play trainer.
+
+Re-design of the reference trainer (/root/reference/cfvpy/selfplay.py):
+the reference splits work across C++ actor threads (generation), a
+TorchScript model pool (inference) and a Python GPU loop (SGD), syncing
+weights through ``ModelLocker::updateModel``.  Here generation and
+training are two jit'd device programs sharing one set of live params —
+actors always use the learner's current weights, so
+``network_sync_epochs`` is satisfied for free — and the replay buffer
+never leaves the device.
+
+Kept semantics (with reference evidence):
+
+* custom huber loss ``|x|>1 ? 2|x|-1 : x^2``, mean over hands then batch
+  (cfvpy/selfplay.py:135-152);
+* Adam lr 3e-4, grad-norm clip 5.0, halve lr every
+  ``decrease_lr_every`` epochs at most ``decrease_lr_times`` times
+  (conf/c02_selfplay/liars_sp.yaml:2-6, selfplay.py:341-351);
+* epoch = ``train_epoch_size / train_batch_size`` batches
+  (selfplay.py:295-300);
+* train/gen throttle: train only while
+  ``replay.num_add * train_gen_ratio >= train_size * (epoch + 1)``
+  (selfplay.py:391-405);
+* per-last-action loss buckets (selfplay.py:158-170, 449-458) and the
+  reference's metric names;
+* every 10 epochs: checkpoint; every 20: exploitability eval
+  (selfplay.py:523-570).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import pathlib
+import pickle
+import time
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rebel_tpu.games.liars_dice import LiarsDice
+from rebel_tpu.nets.cfv_net import CFVNetSpec
+from rebel_tpu.selfplay import replay as rb
+from rebel_tpu.selfplay.runner import (
+    EpisodeState,
+    RecursiveSolvingParams,
+    SelfPlayEngine,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    env: RecursiveSolvingParams = RecursiveSolvingParams()
+    # Model (conf/c02_selfplay/liars_sp.yaml:28-33).
+    n_hidden: int = 256
+    n_layers: int = 2
+    use_layer_norm: bool = True
+    # Optimizer (conf/common/optimizer/adam.yaml, liars_sp.yaml:2-6).
+    lr: float = 3e-4
+    decrease_lr_every: int = 400
+    decrease_lr_times: int = 2
+    grad_clip: float = 5.0
+    loss: str = "huber"
+    # Data (liars_sp.yaml:35-43).
+    train_epoch_size: int = 25600
+    train_batch_size: int = 512
+    replay_capacity: int = 2_000_000
+    replay_alpha: float = 1.0
+    replay_beta: float = 1.0
+    use_priority: bool = False
+    train_gen_ratio: int = 4
+    max_epochs: int = 10000
+    # Self-play engine.
+    selfplay_batch: int = 1024  # lockstep lanes (replaces thread count)
+    gen_chunk_steps: int = 1  # engine steps per jit'd gen call
+    seed: int = 0
+    # Eval/checkpoint cadence (selfplay.py:523-555).
+    checkpoint_every: int = 10
+    exploit_every: int = 20
+    exploit: bool = True
+    eval_num_repeats: int = 0  # sampled-eval repeats (0 = single)
+    solver_dtype: Any = jnp.float32
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    replay: rb.Replay
+    episodes: EpisodeState
+    key: jax.Array
+    epoch: jnp.ndarray  # i32
+
+
+def lr_schedule(cfg: TrainerConfig, steps_per_epoch: int):
+    """Manual halving schedule (selfplay.py:341-351): at the start of
+    epoch ``k * decrease_lr_every - 1`` the lr halves, at most
+    ``decrease_lr_times`` times."""
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        decays = jnp.minimum(
+            (epoch + 1) // cfg.decrease_lr_every, cfg.decrease_lr_times
+        )
+        return cfg.lr * 0.5**decays
+
+    return schedule
+
+
+def huber(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference's custom huber (selfplay.py:135-139)."""
+    ax = jnp.abs(x)
+    return jnp.where(ax > 1, ax * 2 - 1, x * x)
+
+
+def last_action_index(queries: jnp.ndarray, num_actions: int) -> jnp.ndarray:
+    """Index of the one-hot last action; ``num_actions`` when the query is
+    for the initial state (get_last_action_index, selfplay.py:624-633)."""
+    onehot = queries[:, 2 : 2 + num_actions]
+    has = onehot.max(-1) > 0.5
+    return jnp.where(has, onehot.argmax(-1), num_actions).astype(jnp.int32)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, out_dir: str | pathlib.Path = "."):
+        self.cfg = cfg
+        self.game: LiarsDice = cfg.env.game
+        self.out_dir = pathlib.Path(out_dir)
+        self.engine = SelfPlayEngine(cfg=cfg.env, dtype=cfg.solver_dtype)
+        self.net_spec = CFVNetSpec(
+            game=self.game,
+            n_hidden=cfg.n_hidden,
+            n_layers=cfg.n_layers,
+            use_layer_norm=cfg.use_layer_norm,
+        )
+        self.steps_per_epoch = cfg.train_epoch_size // cfg.train_batch_size
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(lr_schedule(cfg, self.steps_per_epoch)),
+        )
+        self.num_decays = 0
+        self._build_programs()
+
+    # ------------------------------------------------------------- init
+    def init_state(self) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        key, k_net = jax.random.split(key)
+        params = self.net_spec.init_params(k_net)
+        return TrainState(
+            params=params,
+            opt_state=self.opt.init(params),
+            replay=rb.create(
+                cfg.replay_capacity, self.game.query_size, self.game.num_hands
+            ),
+            episodes=EpisodeState.initial_batch(
+                self.game, cfg.selfplay_batch, cfg.solver_dtype
+            ),
+            key=key,
+            epoch=jnp.int32(0),
+        )
+
+    # --------------------------------------------------------- programs
+    def _build_programs(self):
+        cfg = self.cfg
+        engine = self.engine
+        net_spec = self.net_spec
+        game = self.game
+
+        def gen_chunk(params, episodes, replay, key):
+            """`gen_chunk_steps` lockstep engine steps; each pushes
+            2 * selfplay_batch examples with priority 1
+            (data_loop.h:50-55)."""
+            value_fn = net_spec.value_fn(params)
+
+            def body(carry, k):
+                eps, rep = carry
+                keys = jax.random.split(k, cfg.selfplay_batch)
+                eps, out = engine.batch_step(eps, keys, value_fn)
+                q = out.queries.reshape(-1, game.query_size)
+                v = out.values.reshape(-1, game.num_hands)
+                rep = rb.add(rep, q, v, 1.0, cfg.replay_alpha)
+                return (eps, rep), out.ended.sum()
+
+            keys = jax.random.split(key, cfg.gen_chunk_steps)
+            (episodes, replay), ended = jax.lax.scan(
+                body, (episodes, replay), keys
+            )
+            return episodes, replay, ended.sum()
+
+        def loss_fn(params, queries, targets):
+            pred = net_spec.module.apply(params, queries)
+            err = targets - pred
+            per_ex = (
+                huber(err) if cfg.loss == "huber" else err * err
+            ).mean(-1)
+            loss = per_ex.mean()
+            return loss, per_ex
+
+        def train_step(params, opt_state, replay, key):
+            sample = (
+                rb.sample_prioritized(
+                    replay, key, cfg.train_batch_size, cfg.replay_beta
+                )
+                if cfg.use_priority
+                else rb.sample_uniform(replay, key, cfg.train_batch_size)
+            )
+            (loss, per_ex), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, sample.queries, sample.values)
+            g_norm = optax.global_norm(grads)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # Per-last-action buckets (selfplay.py:158-170).
+            bucket = last_action_index(sample.queries, game.num_actions)
+            nb = game.num_actions + 1
+            counts = jnp.zeros(nb).at[bucket].add(1.0)
+            loss_sums = jnp.zeros(nb).at[bucket].add(per_ex)
+            val_sums = jnp.zeros(nb).at[bucket].add(sample.values.sum(-1))
+            stats = dict(
+                loss=loss,
+                g_norm=g_norm,
+                counts=counts,
+                loss_sums=loss_sums,
+                val_sums=val_sums,
+            )
+            return params, opt_state, stats
+
+        def train_chunk(params, opt_state, replay, key, n):
+            def body(carry, k):
+                p, o = carry
+                p, o, stats = train_step(p, o, replay, k)
+                return (p, o), stats
+
+            keys = jax.random.split(key, n)
+            (params, opt_state), stats = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
+            return params, opt_state, stats
+
+        self._gen_chunk = jax.jit(gen_chunk, donate_argnums=(2,))
+        self._train_chunk = jax.jit(
+            train_chunk, static_argnums=(4,), donate_argnums=(1,)
+        )
+        self._loss_eval = jax.jit(
+            lambda params, q, v: loss_fn(params, q, v)[0]
+        )
+
+    # ------------------------------------------------------------ epochs
+    def run(self, state: TrainState | None = None, max_epochs=None):
+        cfg = self.cfg
+        state = state or self.init_state()
+        max_epochs = max_epochs or cfg.max_epochs
+        train_size = cfg.train_epoch_size
+        batch = cfg.train_batch_size
+        gen_rows = 2 * cfg.selfplay_batch * cfg.gen_chunk_steps
+        metrics_path = self.out_dir / "metrics.jsonl"
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        gen_time = train_time = 0.0
+        gen_rows_total = 0
+
+        # Burn-in (selfplay.py:314-327).
+        while int(state.replay.size) < 2 * batch:
+            state = self._gen(state)
+
+        all_metrics = []
+        for epoch in range(int(state.epoch), max_epochs):
+            t_epoch = time.time()
+            # Throttle: generate until the ratio is satisfied
+            # (selfplay.py:391-405).
+            t0 = time.time()
+            while (
+                int(state.replay.num_add) * cfg.train_gen_ratio
+                < train_size * (epoch + 1)
+            ):
+                state = self._gen(state)
+                gen_rows_total += gen_rows
+            gen_time += time.time() - t0
+
+            t0 = time.time()
+            key, k_train = jax.random.split(state.key)
+            params, opt_state, stats = self._train_chunk(
+                state.params,
+                state.opt_state,
+                state.replay,
+                k_train,
+                self.steps_per_epoch,
+            )
+            stats = jax.tree.map(np.asarray, stats)
+            state = state._replace(
+                params=params,
+                opt_state=opt_state,
+                key=key,
+                epoch=jnp.int32(epoch + 1),
+            )
+            train_time += time.time() - t0
+
+            metrics = self._epoch_metrics(state, stats, epoch)
+            metrics["bps/train"] = self.steps_per_epoch / max(
+                time.time() - t0, 1e-9
+            )
+            metrics["bps/train_examples"] = metrics["bps/train"] * batch
+            metrics["bps/gen"] = (
+                int(state.replay.num_add) / max(gen_time, 1e-9) / batch
+            )
+            metrics["bps/gen_examples"] = metrics["bps/gen"] * batch
+            metrics["timing/gen"] = gen_time / (epoch + 1)
+            metrics["timing/train"] = train_time / (epoch + 1)
+
+            if epoch % cfg.checkpoint_every == 0:
+                self.save_checkpoint(state, epoch)
+            if cfg.exploit and cfg.exploit_every and epoch % cfg.exploit_every == 0:
+                t0 = time.time()
+                metrics.update(self.evaluate(state))
+                metrics["timing/exploit"] = time.time() - t0
+
+            log.info(
+                "[Train] epoch %d loss %.6f exploit %s lr %.2e",
+                epoch,
+                metrics["loss/train"],
+                metrics.get("exploitability_last", "-"),
+                metrics["optim/lr"],
+            )
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(metrics) + "\n")
+            all_metrics.append(metrics)
+        return state, all_metrics
+
+    def _gen(self, state: TrainState) -> TrainState:
+        key, k = jax.random.split(state.key)
+        episodes, replay, _ = self._gen_chunk(
+            state.params, state.episodes, state.replay, k
+        )
+        return state._replace(episodes=episodes, replay=replay, key=key)
+
+    def _epoch_metrics(self, state, stats, epoch):
+        cfg = self.cfg
+        game = self.game
+        metrics = {
+            "epoch": epoch,
+            "optim/lr": float(
+                lr_schedule(cfg, 1)(jnp.asarray(epoch))
+            ),
+            "loss/train": float(stats["loss"].mean()),
+            "optim/grad_max": float(stats["g_norm"].max()),
+            "optim/grad_mean": float(stats["g_norm"].mean()),
+            "optim/grad_clip_ratio": float(
+                (stats["g_norm"] >= cfg.grad_clip - 1e-5).mean()
+            ),
+            "buffer/size": int(state.replay.size),
+            "buffer/added": int(state.replay.num_add),
+        }
+        counts = stats["counts"].sum(0)
+        loss_sums = stats["loss_sums"].sum(0)
+        val_sums = stats["val_sums"].sum(0)
+        total = counts.sum()
+        for a in range(game.num_actions + 1):
+            name = "initial" if a == game.num_actions else a
+            if counts[a] > 0:
+                metrics[f"loss/train_{name}"] = float(loss_sums[a] / counts[a])
+                metrics[f"val/train_{name}"] = float(val_sums[a] / counts[a])
+            metrics[f"shares/train_{name}"] = float(counts[a] / total)
+        return metrics
+
+    # ------------------------------------------------------------- eval
+    def evaluate(self, state: TrainState) -> dict:
+        """In-training exploitability via recursive solving to leaf with
+        the current net (compute_stats_with_net, pybind.cc:57-84)."""
+        from rebel_tpu.eval.recursive import compute_strategy_recursive_to_leaf
+        from rebel_tpu.solving.exploitability import (
+            compute_exploitability,
+            full_tree_context,
+        )
+
+        value_fn = self.net_spec.value_fn(state.params)
+        strategy = compute_strategy_recursive_to_leaf(
+            self.game,
+            self.cfg.env.subgame_params,
+            value_fn,
+            dtype=self.cfg.solver_dtype,
+        )
+        ctx = full_tree_context(self.game, self.cfg.solver_dtype)
+        expl = compute_exploitability(ctx, strategy)
+        return {"exploitability_last": float(expl)}
+
+    # ------------------------------------------------------ checkpoints
+    def save_checkpoint(self, state: TrainState, epoch: int):
+        """Full-state checkpoint (params, opt state, replay, episodes,
+        RNG, epoch) — an upgrade over the reference's weights-only ckpts
+        (selfplay.py:548-552), enabling true resume."""
+        ckpt_dir = self.out_dir / "ckpt"
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        host_state = jax.tree.map(np.asarray, state)
+        with open(ckpt_dir / f"epoch{epoch}.ckpt", "wb") as f:
+            pickle.dump(host_state, f)
+        # Inference-only params export: the eval interchange format
+        # (the reference's TorchScript export role, selfplay.py:551-552).
+        with open(ckpt_dir / f"epoch{epoch}.params", "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, state.params), f)
+
+    def load_checkpoint(self, path: str) -> TrainState:
+        with open(path, "rb") as f:
+            host_state = pickle.load(f)
+        return jax.tree.map(jnp.asarray, host_state)
+
+
+def load_params(path: str):
+    with open(path, "rb") as f:
+        return jax.tree.map(jnp.asarray, pickle.load(f))

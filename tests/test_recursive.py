@@ -1,0 +1,110 @@
+"""Recursive strategy-builder tests
+(/root/reference/csrc/liars_dice/recursive_solving_test.cc:70-107) plus a
+consistency check: recursive solving with full-depth subgames must equal a
+single full solve."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rebel_tpu import LiarsDice, unroll_tree
+from rebel_tpu.nets.value_nets import zero_value_fn
+from rebel_tpu.eval.recursive import (
+    compute_sampled_strategy_recursive_to_leaf,
+    compute_strategy_recursive,
+    compute_strategy_recursive_to_leaf,
+)
+from rebel_tpu.solving.core import RootCtx, SolverContext
+from rebel_tpu.solving.exploitability import (
+    compute_exploitability,
+    full_tree_context,
+    uniform_beliefs,
+)
+from rebel_tpu.solving.params import SubgameSolvingParams
+from rebel_tpu.solving.solver import SubgameSolver
+
+DT = jnp.float64
+
+
+def test_zero_net_compute_strategy():
+    # recursive_solving_test.cc:70-83
+    game = LiarsDice(num_dice=1, num_faces=3)
+    params = SubgameSolvingParams(
+        num_iters=100, max_depth=1, linear_update=True
+    )
+    strategy = compute_strategy_recursive(
+        game, params, zero_value_fn(game), dtype=DT
+    )
+    full = unroll_tree(game)
+    assert strategy.shape == (
+        full.num_nodes,
+        game.num_hands,
+        game.num_actions,
+    )
+    # Interior nodes carry normalized policies.
+    interior = full.num_children > 0
+    np.testing.assert_allclose(strategy[interior].sum(-1), 1.0, atol=1e-9)
+
+
+def test_zero_net_compute_strategy_to_leaf():
+    # recursive_solving_test.cc:85-107
+    game = LiarsDice(num_dice=1, num_faces=3)
+    params = SubgameSolvingParams(
+        num_iters=100, max_depth=3, linear_update=True
+    )
+    strategy = compute_strategy_recursive_to_leaf(
+        game, params, zero_value_fn(game), dtype=DT
+    )
+    full = unroll_tree(game)
+    assert strategy.shape == (
+        full.num_nodes,
+        game.num_hands,
+        game.num_actions,
+    )
+    interior = full.num_children > 0
+    np.testing.assert_allclose(strategy[interior].sum(-1), 1.0, atol=1e-9)
+
+
+def test_recursive_full_depth_equals_single_solve():
+    """With max_depth covering the whole game, the root subgame IS the
+    full game: recursive-to-leaf must reproduce the single-solver
+    strategy exactly."""
+    game = LiarsDice(num_dice=1, num_faces=2)
+    params = SubgameSolvingParams(
+        num_iters=128, max_depth=100, linear_update=True
+    )
+    strategy = compute_strategy_recursive_to_leaf(game, params, dtype=DT)
+
+    ctx = full_tree_context(game, DT)
+    solver = SubgameSolver(
+        ctx, params, RootCtx.concrete(ctx.tree), uniform_beliefs(game, DT)
+    )
+    solver.multistep()
+    expect = np.asarray(solver.get_strategy())
+    np.testing.assert_allclose(strategy, expect, atol=1e-12)
+
+
+def test_sampled_recursive_strategy_quality():
+    """Sampled recursive-to-leaf strategies on small games are playable:
+    finite exploitability, valid distributions (mirrors the usage in
+    recursive_eval.cc:344-363)."""
+    game = LiarsDice(num_dice=1, num_faces=2)
+    params = SubgameSolvingParams(
+        num_iters=64, max_depth=2, linear_update=True, use_cfr=True
+    )
+    from rebel_tpu.nets.value_nets import make_oracle_value_fn
+
+    oracle = make_oracle_value_fn(
+        game, params.replace(max_depth=100), dtype=DT
+    )
+    strategy = compute_sampled_strategy_recursive_to_leaf(
+        game, params, oracle, seed=1, dtype=DT
+    )
+    full = unroll_tree(game)
+    interior = full.num_children > 0
+    sums = strategy[interior].sum(-1)
+    # Sampled stop-iteration can be 0 for CFR: sampling strategy is then
+    # uniform, still a valid distribution.
+    np.testing.assert_allclose(sums, 1.0, atol=1e-9)
+    ctx = full_tree_context(game, DT)
+    e = compute_exploitability(ctx, strategy)
+    assert 0.0 <= e < 1.0
