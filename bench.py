@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: CFR subgame-iterations/s per chip at 1x4f.
+
+Measures the self-play hot path — batched depth-2 subgame solving with
+the CFV MLP fused into the iteration loop (the TPU-native equivalent of
+the reference's gen_benchmark,
+/root/reference/csrc/liars_dice/gen_benchmark.cc) — and prints ONE JSON
+line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference implementation publishes no numbers
+(BASELINE.md).  We measured its data-generation hot loop on this host
+via tools/golden/ref_bench (RlRunner + zero-output net, single core) and
+scale by the 60 CPU generation threads of the production config
+(README.md:44-53); a zero net is strictly faster than the reference's
+real MLP inference path, so this over-estimates the reference.  See
+tools/golden/REF_BASELINE.json for the measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.json"
+
+
+def measure(batch: int, num_iters: int, steps: int, warmup: int = 1):
+    from rebel_tpu.nets.cfv_net import CFVNetSpec
+    from rebel_tpu.selfplay.runner import (
+        EpisodeState,
+        RecursiveSolvingParams,
+        SelfPlayEngine,
+    )
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    cfg = RecursiveSolvingParams(
+        num_dice=1,
+        num_faces=4,
+        subgame_params=SubgameSolvingParams(
+            num_iters=num_iters, max_depth=2, linear_update=True, use_cfr=True
+        ),
+        random_action_prob=0.25,
+        sample_leaf=True,
+    )
+    engine = SelfPlayEngine(cfg=cfg, dtype=jnp.float32)
+    spec = CFVNetSpec(game=engine.game, compute_dtype=jnp.bfloat16)
+    params = spec.init_params(jax.random.PRNGKey(0))
+    value_fn = spec.value_fn(params)
+
+    eps = EpisodeState.initial_batch(engine.game, batch, jnp.float32)
+    step = jax.jit(lambda e, k: engine.batch_step(e, k, value_fn))
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        eps, out = step(eps, jax.random.split(sub, batch))
+    jax.block_until_ready(eps)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        eps, out = step(eps, jax.random.split(sub, batch))
+    jax.block_until_ready(eps)
+    wall = time.perf_counter() - t0
+
+    subgames = batch * steps
+    return {
+        "wall_s": wall,
+        "subgames_per_s": subgames / wall,
+        "cfr_iters_per_s": subgames * num_iters / wall,
+        "examples_per_s": 2 * subgames / wall,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--num_iters", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    args = ap.parse_args()
+    if args.smoke:
+        args.batch, args.num_iters, args.steps = 64, 32, 2
+
+    res = measure(args.batch, args.num_iters, args.steps)
+
+    vs_baseline = None
+    if REF_BASELINE_PATH.exists():
+        ref = json.loads(REF_BASELINE_PATH.read_text())
+        base = ref.get("cfr_iters_per_s_60threads")
+        if base:
+            vs_baseline = res["cfr_iters_per_s"] / base
+
+    print(
+        json.dumps(
+            {
+                "metric": "CFR subgame-iters/s per chip (1x4f, depth-2, CFV net fused)",
+                "value": round(res["cfr_iters_per_s"], 1),
+                "unit": "iters/s",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "detail": {
+                    "subgames_per_s": round(res["subgames_per_s"], 1),
+                    "examples_per_s": round(res["examples_per_s"], 1),
+                    "batch": args.batch,
+                    "num_iters": args.num_iters,
+                    "wall_s": round(res["wall_s"], 2),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Evaluation harness — the ``recursive_eval`` equivalent.
+
+Mirrors /root/reference/csrc/liars_dice/recursive_eval.cc:
+
+* Phase 1 (``full_solve``): solve the full tree for ``subgame_iters``,
+  printing exploitability at power-of-2 iterations
+  (recursive_eval.cc:276-309).
+* Phase 2 (``sampled_eval``): ``num_repeats`` independent sampled
+  recursive-to-leaf strategies (seed = repeat id,
+  recursive_eval.cc:136-137), averaged **weighted by per-infoset reach**
+  of the acting player (``summed += strat * reach; final = sum / (sum
+  reach + 1e-6)``, recursive_eval.cc:349-363), with exploitability and
+  EV-vs-full reported at power-of-2 repeat counts.
+* Machine-readable ``XXX {...}`` / ``YYY {...}`` JSON result lines
+  (recursive_eval.cc:409-425), parsed by the eval_all sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rebel_tpu.games.liars_dice import LiarsDice
+from rebel_tpu.eval.recursive import compute_sampled_strategy_recursive_to_leaf
+from rebel_tpu.solving.core import RootCtx, SolverContext, ValueFn
+from rebel_tpu.solving.exploitability import (
+    compute_ev2,
+    compute_exploitability2,
+    full_tree_context,
+    uniform_beliefs,
+)
+from rebel_tpu.solving.params import SubgameSolvingParams
+from rebel_tpu.solving.solver import build_solver
+
+log = logging.getLogger(__name__)
+
+
+def full_solve(
+    game: LiarsDice,
+    params: SubgameSolvingParams,
+    dtype=jnp.float64,
+    progress: bool = True,
+):
+    """Phase 1: full-tree solve with power-of-2 exploitability printouts.
+    Returns (strategy [N,H,A], trajectory list)."""
+    ctx = full_tree_context(game, dtype)
+    solver = build_solver(ctx, params.replace(max_depth=10**6))
+    root = RootCtx.concrete(ctx.tree)
+    state = solver.init(root, uniform_beliefs(game, dtype))
+    step = jax.jit(solver.step)
+    trajectory = []
+    for it in range(params.num_iters):
+        state = step(state, it % 2, root)
+        if ((it + 1) & it) == 0 or it + 1 == params.num_iters:
+            e0, e1 = compute_exploitability2(ctx, state.average_strategies)
+            trajectory.append(
+                {"iter": it + 1, "e0": e0, "e1": e1, "sum": (e0 + e1) / 2}
+            )
+            if progress:
+                log.info(
+                    "Iter=%8d exploitabilities=(%.3e, %.3e) sum=%.3e",
+                    it + 1, e0, e1, (e0 + e1) / 2,
+                )
+    return np.asarray(state.average_strategies), trajectory
+
+
+def acting_player_reach(
+    ctx: SolverContext, strategy: np.ndarray
+) -> np.ndarray:
+    """[N, H] blueprint reach of each node's *acting player* from uniform
+    beliefs — the infoset weights of the sampled-strategy average
+    (recursive_eval.cc:143-149, using compute_stategy_stats reaches)."""
+    root = RootCtx.concrete(ctx.tree)
+    beliefs = uniform_beliefs(ctx.game, ctx.dtype)
+    s = jnp.asarray(strategy, ctx.dtype)
+    r0 = ctx.compute_reaches(s, beliefs[0], 0, root)
+    r1 = ctx.compute_reaches(s, beliefs[1], 1, root)
+    player = (ctx.tree.depth % 2).astype(bool)  # root player 0
+    return np.where(player[:, None], np.asarray(r1), np.asarray(r0))
+
+
+def sampled_eval(
+    game: LiarsDice,
+    params: SubgameSolvingParams,
+    value_fn: ValueFn | None,
+    num_repeats: int,
+    full_strategy: np.ndarray,
+    mdp_depth: int = 2,
+    dtype=jnp.float64,
+    progress: bool = True,
+):
+    """Phase 2: reach-weighted average of sampled recursive strategies."""
+    ctx = full_tree_context(game, dtype)
+    sub_params = params.replace(max_depth=mdp_depth)
+    summed_strategy = None
+    summed_reach = None
+    reports = []
+    # float32 accumulation mirrors the reference's torch f32 tensors
+    # (recursive_eval.cc:83-96).
+    for rep in range(num_repeats):
+        strat = compute_sampled_strategy_recursive_to_leaf(
+            game, sub_params, value_fn, seed=rep, dtype=dtype
+        ).astype(np.float32)
+        reach = acting_player_reach(ctx, strat).astype(np.float32)[:, :, None]
+        if summed_strategy is None:
+            summed_strategy = strat * reach
+            summed_reach = reach.copy()
+        else:
+            summed_strategy += strat * reach
+            summed_reach += reach
+        if ((rep + 1) & rep) == 0 or rep + 1 == num_repeats:
+            final = summed_strategy / (summed_reach + 1e-6)
+            e0, e1 = compute_exploitability2(ctx, final)
+            ev0, ev1 = compute_ev2(ctx, full_strategy, final)
+            reports.append(
+                {
+                    "repeats": rep + 1,
+                    "e0": e0,
+                    "e1": e1,
+                    "exploitability": (e0 + e1) / 2,
+                    "ev_full_0": ev0,
+                    "ev_full_1": ev1,
+                    "ev_full": (ev0 + ev1) / 2,
+                }
+            )
+            if progress:
+                log.info(
+                    "%5d: %.6g (%.6g,%.6g)\tEV of full: %.6g",
+                    rep + 1, (e0 + e1) / 2, e0, e1, (ev0 + ev1) / 2,
+                )
+    final = summed_strategy / (summed_reach + 1e-6)
+    return final, reports
+
+
+def run_eval(
+    game: LiarsDice,
+    base_params: SubgameSolvingParams,
+    value_fn: ValueFn | None = None,
+    subgame_iters: int = 1024,
+    num_repeats: int = 0,
+    mdp_depth: int = 2,
+    dtype=jnp.float64,
+) -> dict:
+    """Full recursive_eval flow; returns the XXX/YYY-equivalent dict."""
+    params = base_params.replace(num_iters=subgame_iters)
+    full_strategy, trajectory = full_solve(game, params, dtype)
+    ctx = full_tree_context(game, dtype)
+    e0, e1 = compute_exploitability2(ctx, full_strategy)
+
+    results = {"full_tree": (e0 + e1) / 2}
+    results_ev = {}
+    reports = []
+    if num_repeats > 0:
+        if value_fn is None:
+            raise ValueError("num_repeats > 0 requires a value net")
+        final, reports = sampled_eval(
+            game, params, value_fn, num_repeats, full_strategy,
+            mdp_depth, dtype,
+        )
+        last = reports[-1]
+        results[f"repeated toleaf {num_repeats}"] = last["exploitability"]
+        results_ev[f"repeated toleaf {num_repeats}"] = last["ev_full"]
+
+    # Greppable result lines (recursive_eval.cc:409-425).
+    print("XXX " + json.dumps({k: str(v) for k, v in results.items()}))
+    print("YYY " + json.dumps({k: str(v) for k, v in results_ev.items()}))
+    return {
+        "exploitability": results,
+        "ev": results_ev,
+        "full_trajectory": trajectory,
+        "sampled_reports": reports,
+    }
+
+
+def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:
+    """Task entry for run.py: config keys ``env`` (game + subgame params),
+    ``eval`` (net/subgame_iters/num_repeats/mdp_depth)."""
+    env = cfg.get("env", {})
+    game = LiarsDice(
+        num_dice=env.get("num_dice", 1), num_faces=env.get("num_faces", 4)
+    )
+    sp = env.get("subgame_params", {})
+    base_params = SubgameSolvingParams(
+        num_iters=sp.get("num_iters", 1024),
+        max_depth=sp.get("max_depth", 2),
+        linear_update=sp.get("linear_update", True),
+        use_cfr=sp.get("use_cfr", False),
+    )
+    ev = cfg.get("eval", {})
+    net_path = ev.get("net", None)
+    value_fn = None
+    dtype = jnp.float64 if ev.get("f64", True) else jnp.float32
+    if net_path == "zero":
+        from rebel_tpu.nets.value_nets import zero_value_fn
+
+        value_fn = zero_value_fn(game)
+    elif net_path == "oracle":
+        from rebel_tpu.nets.value_nets import make_oracle_value_fn
+
+        value_fn = make_oracle_value_fn(game, base_params, dtype=dtype)
+    elif net_path:
+        from rebel_tpu.nets.cfv_net import CFVNetSpec
+        from rebel_tpu.training.trainer import load_params
+
+        model = cfg.get("model", {}).get("kwargs", {})
+        spec = CFVNetSpec(
+            game=game,
+            n_hidden=model.get("n_hidden", 256),
+            n_layers=model.get("n_layers", 2),
+            use_layer_norm=model.get("use_layer_norm", True),
+        )
+        value_fn = spec.value_fn(load_params(net_path))
+    return run_eval(
+        game,
+        base_params,
+        value_fn,
+        subgame_iters=ev.get("subgame_iters", 1024),
+        num_repeats=ev.get("num_repeats", 0),
+        mdp_depth=ev.get("mdp_depth", base_params.max_depth),
+        dtype=dtype,
+    )

@@ -206,21 +206,27 @@ class SolverContext:
         if tids.size == 0:
             return jnp.zeros((0, self.H), self.dtype)
         D = game.total_num_dice
-        bids = t.challenged_bid[tids]  # np [T]
+        # The challenged bid is the terminal's parent's last bid; for a
+        # liar call directly below a (super)tree root, that is the
+        # *runtime* root bid, not the static tree constant.
+        bids = jnp.where(
+            jnp.asarray(t.depth[tids] == 1),
+            root.bid,
+            jnp.asarray(t.challenged_bid[tids]),
+        )  # [T]
         faces = bids % game.num_faces
         quantities = 1 + bids // game.num_faces
-        m = game.matches_table  # np [H, F]
-        own_matches = m[:, faces].T  # np [T, H]
+        m = jnp.asarray(game.matches_table)  # [H, F]
+        own_matches = m.T[faces]  # [T, H]
         # One-hot bucket matrix per terminal: [T, H, D+1].
-        bucket_onehot = jnp.asarray(
-            own_matches[:, :, None] == np.arange(D + 1)[None, None, :],
-            self.dtype,
-        )
+        bucket_onehot = (
+            own_matches[:, :, None] == jnp.arange(D + 1)[None, None, :]
+        ).astype(self.dtype)
         r = opp_reach[jnp.asarray(tids)]  # [T, H]
         buckets = jnp.einsum("to,toj->tj", r, bucket_onehot)  # [T, D+1]
         cum = jnp.cumsum(buckets[:, ::-1], axis=-1)[:, ::-1]  # suffix sums
-        left_to_win = np.clip(quantities[:, None] - own_matches, 0, D)
-        p_win = jnp.take_along_axis(cum, jnp.asarray(left_to_win), axis=-1)
+        left_to_win = jnp.clip(quantities[:, None] - own_matches, 0, D)
+        p_win = jnp.take_along_axis(cum, left_to_win, axis=-1)
         if self.terminal_f32_parity:
             p_win = p_win.astype(jnp.float32).astype(self.dtype)
         v = p_win * 2 - r.sum(-1, keepdims=True)

@@ -271,3 +271,56 @@ def test_safe_normalization_tiny():
     )
     out = normalize_safe(probs, REACH_EPS_F64)
     assert abs(float(out.sum()) - 1.0) < 1e-10
+
+
+# ----------------------------------------------- supertree equivalence
+def test_supertree_subgame_equals_concrete_tree():
+    """Solving a subgame on the masked supertree must match solving it on
+    a concretely-rooted tree — including the depth-1 liar terminal whose
+    challenged bid is the *runtime* root bid (regression: this payoff was
+    read from the virtual root's static bid)."""
+    from rebel_tpu import build_supertree
+    from rebel_tpu.solving.solver import CFRState
+
+    game = LiarsDice(num_dice=1, num_faces=3)
+    params = SubgameSolvingParams(
+        num_iters=16, max_depth=2, use_cfr=True, linear_update=True
+    )
+    sup = build_supertree(game, 2)
+    sup_ctx = SolverContext(game=game, tree=sup, dtype=DT)
+    rng = np.random.RandomState(7)
+    for root_bid in [0, 2, game.num_actions - 3]:
+        beliefs = jnp.asarray(rng.dirichlet(np.ones(game.num_hands), size=2))
+        conc = unroll_tree(game, root_bid=root_bid, root_player=1, max_depth=2)
+        conc_ctx = SolverContext(game=game, tree=conc, dtype=DT)
+        net = zero_value_fn(game)
+
+        sup_solver = SubgameSolver(
+            sup_ctx, params, RootCtx.of(game, root_bid, 1), beliefs, net
+        )
+        sup_solver.multistep()
+        conc_solver = SubgameSolver(
+            conc_ctx, params, RootCtx.concrete(conc), beliefs, net
+        )
+        conc_solver.multistep()
+
+        np.testing.assert_allclose(
+            np.asarray(sup_solver.get_hand_values(0)),
+            np.asarray(conc_solver.get_hand_values(0)),
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sup_solver.get_hand_values(1)),
+            np.asarray(conc_solver.get_hand_values(1)),
+            atol=1e-12,
+        )
+        # Map supertree nodes onto concrete nodes and compare policies.
+        from rebel_tpu.eval.recursive import _map_supertree_to_full
+
+        m = _map_supertree_to_full(sup, conc, 0)
+        valid = m >= 0
+        np.testing.assert_allclose(
+            np.asarray(sup_solver.get_strategy())[valid],
+            np.asarray(conc_solver.get_strategy())[m[valid]],
+            atol=1e-12,
+        )
