@@ -59,13 +59,13 @@ class BatchSubgameSolver:
         def solve_one(bid, player, beliefs, t):
             root = RootCtx.of(self.game, bid, player)
             state = solver.init(root, beliefs)
-            snap_avg = solver.average_strategy(state)
+            snap_avg = solver.average_strategy(state, root)
             snap_samp = solver.sampling_strategy(state)
 
             def body(carry, it):
                 st, sa, ss = carry
                 take = it == t
-                sa = jnp.where(take, solver.average_strategy(st), sa)
+                sa = jnp.where(take, solver.average_strategy(st, root), sa)
                 ss = jnp.where(take, solver.sampling_strategy(st), ss)
                 st = solver.step(st, it % 2, root)
                 return (st, sa, ss), None
@@ -75,7 +75,9 @@ class BatchSubgameSolver:
                 jnp.arange(self.params.num_iters),
             )
             done = t == self.params.num_iters
-            snap_avg = jnp.where(done, solver.average_strategy(state), snap_avg)
+            snap_avg = jnp.where(
+                done, solver.average_strategy(state, root), snap_avg
+            )
             snap_samp = jnp.where(
                 done, solver.sampling_strategy(state), snap_samp
             )

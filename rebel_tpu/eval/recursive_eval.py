@@ -58,7 +58,9 @@ def full_solve(
     for it in range(params.num_iters):
         state = step(state, it % 2, root)
         if ((it + 1) & it) == 0 or it + 1 == params.num_iters:
-            e0, e1 = compute_exploitability2(ctx, state.average_strategies)
+            e0, e1 = compute_exploitability2(
+                ctx, solver.average_strategy(state, root)
+            )
             trajectory.append(
                 {"iter": it + 1, "e0": e0, "e1": e1, "sum": (e0 + e1) / 2}
             )
@@ -67,7 +69,7 @@ def full_solve(
                     "Iter=%8d exploitabilities=(%.3e, %.3e) sum=%.3e",
                     it + 1, e0, e1, (e0 + e1) / 2,
                 )
-    return np.asarray(state.average_strategies), trajectory
+    return np.asarray(solver.average_strategy(state, root)), trajectory
 
 
 def acting_player_reach(

@@ -39,10 +39,16 @@ class CFRState(NamedTuple):
     regrets: jnp.ndarray  # [N, H, A]
     sum_strategies: jnp.ndarray  # [N, H, A]
     last_strategies: jnp.ndarray  # [N, H, A]
-    average_strategies: jnp.ndarray  # [N, H, A]
     root_values_means: jnp.ndarray  # [2, H]
     num_steps: jnp.ndarray  # [2] i32
     beliefs: jnp.ndarray  # [2, H]
+
+    # NOTE: unlike the reference (subgame_solving.cc:658-659), the average
+    # strategy is NOT materialized each iteration: it always equals
+    # normalize(sum_strategies) over the action mask (rows change only when
+    # their actor is the traverser, and normalize is idempotent on the
+    # stale rows), so it is computed once on demand.  This removes a full
+    # [N, H, A] read+write+normalize from the iteration loop.
 
 
 class FPState(NamedTuple):
@@ -98,7 +104,6 @@ class CFR:
                 ctx, uniform, beliefs.astype(dt), root, amask
             ),
             last_strategies=uniform,
-            average_strategies=uniform,
             root_values_means=jnp.zeros((2, ctx.H), dt),
             num_steps=jnp.zeros((2,), jnp.int32),
             beliefs=beliefs.astype(dt),
@@ -171,17 +176,11 @@ class CFR:
             state.sum_strategies * strat_d + reach_last[:, :, None] * last,
             state.sum_strategies,
         )
-        avg = jnp.where(
-            actor_row,
-            normalize(sum_strat, amask[:, None, :]),
-            state.average_strategies,
-        )
 
         return CFRState(
             regrets=regrets,
             sum_strategies=sum_strat,
             last_strategies=last,
-            average_strategies=avg,
             root_values_means=rvm,
             num_steps=state.num_steps.at[traverser].add(1),
             beliefs=state.beliefs,
@@ -205,9 +204,10 @@ class CFR:
     def sampling_strategy(state: CFRState) -> jnp.ndarray:
         return state.last_strategies
 
-    @staticmethod
-    def average_strategy(state: CFRState) -> jnp.ndarray:
-        return state.average_strategies
+    def average_strategy(self, state: CFRState, root: RootCtx) -> jnp.ndarray:
+        return normalize(
+            state.sum_strategies, self.ctx.action_masks(root)[:, None, :]
+        )
 
 
 # ================================================================ FP =====
@@ -327,8 +327,8 @@ class FP:
     def sampling_strategy(state: FPState) -> jnp.ndarray:
         return state.average_strategies
 
-    @staticmethod
-    def average_strategy(state: FPState) -> jnp.ndarray:
+    def average_strategy(self, state: FPState, root: RootCtx) -> jnp.ndarray:
+        del root
         return state.average_strategies
 
 
@@ -371,7 +371,7 @@ class SubgameSolver:
         self.state = self._multi(self.state, self.root)
 
     def get_strategy(self):
-        return self.impl.average_strategy(self.state)
+        return self.impl.average_strategy(self.state, self.root)
 
     def get_sampling_strategy(self):
         return self.impl.sampling_strategy(self.state)
