@@ -22,11 +22,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: first TPU compile goes through a slow
+# remote-compile tunnel in this environment; cache across runs.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.json"
 
