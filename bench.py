@@ -40,11 +40,8 @@ REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.j
 
 def measure(batch: int, num_iters: int, steps: int, warmup: int = 1):
     from rebel_tpu.nets.cfv_net import CFVNetSpec
-    from rebel_tpu.selfplay.runner import (
-        EpisodeState,
-        RecursiveSolvingParams,
-        SelfPlayEngine,
-    )
+    from rebel_tpu.selfplay.fast_runner import make_engine
+    from rebel_tpu.selfplay.runner import EpisodeState, RecursiveSolvingParams
     from rebel_tpu.solving.params import SubgameSolvingParams
 
     cfg = RecursiveSolvingParams(
@@ -56,7 +53,7 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1):
         random_action_prob=0.25,
         sample_leaf=True,
     )
-    engine = SelfPlayEngine(cfg=cfg, dtype=jnp.float32)
+    engine = make_engine(cfg, dtype=jnp.float32)
     spec = CFVNetSpec(game=engine.game, compute_dtype=jnp.bfloat16)
     params = spec.init_params(jax.random.PRNGKey(0))
     value_fn = spec.value_fn(params)

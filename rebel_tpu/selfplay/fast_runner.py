@@ -1,0 +1,178 @@
+"""Fast self-play engine for the production depth-2 configuration.
+
+Same semantics as :class:`rebel_tpu.selfplay.runner.SelfPlayEngine` (the
+lockstep batched ``RlRunner``) but built on the gather-free action-grid
+solver :class:`rebel_tpu.solving.grid2.Grid2Solver`.  The depth-2 walk
+unrolls to exactly two sampling steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from rebel_tpu.games.liars_dice import LiarsDice
+from rebel_tpu.solving.core import RootCtx, ValueFn, normalize_safe, reach_eps
+from rebel_tpu.solving.grid2 import Grid2Solver
+from rebel_tpu.selfplay.runner import (
+    EpisodeState,
+    RecursiveSolvingParams,
+    StepOutput,
+)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class FastSelfPlayEngine:
+    """Drop-in replacement for SelfPlayEngine when
+    ``subgame_params.max_depth == 2`` (the trained configuration,
+    conf/c02_selfplay/liars_sp.yaml:14)."""
+
+    cfg: RecursiveSolvingParams
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        assert self.cfg.subgame_params.max_depth == 2
+        object.__setattr__(self, "game", self.cfg.game)
+
+    def _solver(self, value_fn: ValueFn | None) -> Grid2Solver:
+        return Grid2Solver(
+            game=self.game,
+            params=self.cfg.subgame_params,
+            dtype=self.dtype,
+            value_fn=value_fn,
+        )
+
+    def _root_query(self, beliefs, traverser, root: RootCtx):
+        dt = self.dtype
+        eps = reach_eps(dt)
+        onehot = (jnp.arange(self.game.num_actions) == root.bid).astype(dt)
+        return jnp.concatenate(
+            [
+                jnp.asarray(root.player, dt)[None],
+                jnp.asarray(traverser, dt)[None],
+                onehot,
+                normalize_safe(beliefs[0].astype(dt), eps),
+                normalize_safe(beliefs[1].astype(dt), eps),
+            ]
+        )
+
+    def _solve_with_snapshot(self, root, beliefs, key, value_fn):
+        params = self.cfg.subgame_params
+        solver = self._solver(value_fn)
+        state0 = solver.init(root, beliefs)
+        t = jax.random.randint(key, (), 0, params.num_iters + 1)
+        snap0 = solver.sampling_strategy(state0, root)
+
+        def body(carry, it):
+            state, snap = carry
+            cur = solver.sampling_strategy(state, root)
+            snap = jax.tree.map(
+                lambda c, s: jnp.where(it == t, c, s), cur, snap
+            )
+            state = solver.step(state, it % 2, root)
+            return (state, snap), None
+
+        (state, snap), _ = jax.lax.scan(
+            body, (state0, snap0), jnp.arange(params.num_iters)
+        )
+        final = solver.sampling_strategy(state, root)
+        snap = jax.tree.map(
+            lambda c, s: jnp.where(t == params.num_iters, c, s), final, snap
+        )
+        return state, snap
+
+    def _sample_action(self, key, policy_row, mask, bel_actor, explore_ok):
+        """One reference-style action draw: with prob random_action_prob
+        (for the BR-sampled player) uniform over legal actions, else
+        hand ~ beliefs then action ~ policy[hand]
+        (recursive_solving.cc:202-216)."""
+        k_eps, k_uni, k_hand, k_act = jax.random.split(key, 4)
+        explore = explore_ok & (
+            jax.random.uniform(k_eps) < self.cfg.random_action_prob
+        )
+        a_uniform = jax.random.categorical(
+            k_uni, jnp.where(mask, 0.0, -jnp.inf)
+        )
+        hand = jax.random.categorical(k_hand, jnp.log(bel_actor))
+        a_policy = jax.random.categorical(k_act, jnp.log(policy_row[hand]))
+        return jnp.where(explore, a_uniform, a_policy)
+
+    def step(
+        self, ep: EpisodeState, key: jax.Array, value_fn: ValueFn | None
+    ) -> tuple[EpisodeState, StepOutput]:
+        game = self.game
+        dt = self.dtype
+        eps_reach = reach_eps(dt)
+        liar = game.liar_call
+        k_solve, k_br, k_a1, k_a2 = jax.random.split(key, 4)
+        root = RootCtx.of(game, ep.root_bid, ep.root_player)
+
+        state, (p0, p1) = self._solve_with_snapshot(
+            root, ep.beliefs, k_solve, value_fn
+        )
+
+        queries = jnp.stack(
+            [
+                self._root_query(ep.beliefs, jnp.int32(0), root),
+                self._root_query(ep.beliefs, jnp.int32(1), root),
+            ]
+        )
+        values = state.root_values_means
+
+        br_sampler = jax.random.randint(k_br, (), 0, 2)
+        beliefs = ep.beliefs
+
+        # --- step 1: root actor acts.
+        actor0 = root.player
+        a1 = self._sample_action(
+            k_a1, p0, root.mask, beliefs[actor0], actor0 == br_sampler
+        )
+        new_row = normalize_safe(beliefs[actor0] * p0[:, a1], eps_reach)
+        beliefs = beliefs.at[actor0].set(new_row)
+        done1 = a1 == liar
+
+        if self.cfg.sample_leaf:
+            # --- step 2: level-1 actor acts (unless liar ended it).
+            actor1 = (root.player + 1) % 2
+            m1_row = (jnp.arange(game.num_actions) > a1) & (a1 != liar)
+            a2 = self._sample_action(
+                k_a2, p1[a1], m1_row, beliefs[actor1], actor1 == br_sampler
+            )
+            row2 = normalize_safe(beliefs[actor1] * p1[a1, :, a2], eps_reach)
+            beliefs = jnp.where(
+                done1, beliefs, beliefs.at[actor1].set(row2)
+            )
+            new_bid = jnp.where(done1, a1, a2)
+            new_player = jnp.where(done1, actor1, root.player)
+            ended = done1 | (a2 == liar)
+        else:
+            new_bid = a1
+            new_player = 1 - root.player
+            ended = done1
+
+        fresh = EpisodeState.initial(game, dt)
+        new_ep = EpisodeState(
+            root_bid=jnp.where(ended, fresh.root_bid, new_bid),
+            root_player=jnp.where(ended, fresh.root_player, new_player),
+            beliefs=jnp.where(ended, fresh.beliefs, beliefs),
+        )
+        return new_ep, StepOutput(queries=queries, values=values, ended=ended)
+
+    def batch_step(self, eps: EpisodeState, keys: jax.Array, value_fn):
+        return jax.vmap(lambda e, k: self.step(e, k, value_fn))(eps, keys)
+
+
+def make_engine(
+    cfg: RecursiveSolvingParams, dtype=jnp.float32, fast: bool | None = None
+):
+    """Engine factory: the grid fast path when depth == 2 (default),
+    the generic supertree engine otherwise."""
+    from rebel_tpu.selfplay.runner import SelfPlayEngine
+
+    if fast is None:
+        fast = cfg.subgame_params.max_depth == 2
+    if fast and cfg.subgame_params.max_depth == 2:
+        return FastSelfPlayEngine(cfg=cfg, dtype=dtype)
+    return SelfPlayEngine(cfg=cfg, dtype=dtype)

@@ -46,11 +46,8 @@ import optax
 from rebel_tpu.games.liars_dice import LiarsDice
 from rebel_tpu.nets.cfv_net import CFVNetSpec
 from rebel_tpu.selfplay import replay as rb
-from rebel_tpu.selfplay.runner import (
-    EpisodeState,
-    RecursiveSolvingParams,
-    SelfPlayEngine,
-)
+from rebel_tpu.selfplay.fast_runner import make_engine
+from rebel_tpu.selfplay.runner import EpisodeState, RecursiveSolvingParams
 
 log = logging.getLogger(__name__)
 
@@ -132,7 +129,7 @@ class Trainer:
         self.cfg = cfg
         self.game: LiarsDice = cfg.env.game
         self.out_dir = pathlib.Path(out_dir)
-        self.engine = SelfPlayEngine(cfg=cfg.env, dtype=cfg.solver_dtype)
+        self.engine = make_engine(cfg.env, dtype=cfg.solver_dtype)
         self.net_spec = CFVNetSpec(
             game=self.game,
             n_hidden=cfg.n_hidden,
