@@ -69,6 +69,15 @@ class Grid2Solver:
     dtype: jnp.dtype = jnp.float32
     value_fn: ValueFn | None = None
     terminal_f32_parity: bool = False
+    # Optional hands-dimension sharding (the "sequence parallelism" analog
+    # of this framework — SURVEY §5: num_hands = faces^dice is the
+    # exponential scaling axis).  When set to a mesh axis name, all [.., H]
+    # tensors hold per-device slices inside a shard_map over that axis;
+    # the only cross-hand communication is (a) a psum of the D+1 match
+    # buckets in the terminal operator, (b) psums of belief-normalization
+    # denominators, and (c) an all_gather of normalized beliefs for the
+    # value-net query (whose input is the full PBS by definition).
+    hands_axis: str | None = None
 
     def __post_init__(self):
         assert self.params.max_depth == 2
@@ -95,30 +104,52 @@ class Grid2Solver:
     def _m0(self, root: RootCtx) -> jnp.ndarray:
         return root.mask  # [A]
 
+    def _psum(self, x):
+        return jax.lax.psum(x, self.hands_axis) if self.hands_axis else x
+
+    def _local_hands(self, x_full, axis=-1):
+        """Slice a full-H array down to this shard's hand range."""
+        if not self.hands_axis:
+            return x_full
+        n = jax.lax.axis_size(self.hands_axis)
+        idx = jax.lax.axis_index(self.hands_axis)
+        h_loc = x_full.shape[axis] // n
+        return jax.lax.dynamic_slice_in_dim(x_full, idx * h_loc, h_loc, axis)
+
+    def _norm_safe(self, x, eps):
+        x = x + eps
+        return x / self._psum(x.sum(-1, keepdims=True))
+
     def _win_values(self, bids, opp_mass, f32_parity):
         """``[..., H]`` traverser payoff of challenged ``bids`` against
         opponent reach mass ``opp_mass [..., H]`` (bucket algorithm,
-        subgame_solving.cc:765-789)."""
+        subgame_solving.cc:765-789).  Under hands sharding the opponent
+        sum reduces to a psum of the D+1 buckets."""
         game = self.game
         D = game.total_num_dice
         faces = bids % game.num_faces
         quantities = 1 + bids // game.num_faces
         m = jnp.asarray(game.matches_table)  # [H, F]
-        own = m.T[faces]  # [..., H]
+        own = self._local_hands(m.T[faces])  # [..., H_local]
         onehot = (own[..., None] == jnp.arange(D + 1)).astype(self.dtype)
-        buckets = jnp.einsum("...o,...oj->...j", opp_mass, onehot)
+        buckets = self._psum(
+            jnp.einsum("...o,...oj->...j", opp_mass, onehot)
+        )
         cum = jnp.cumsum(buckets[..., ::-1], axis=-1)[..., ::-1]
         left = jnp.clip(quantities[..., None] - own, 0, D)
         p_win = jnp.take_along_axis(cum, left, axis=-1)
         if f32_parity:
             p_win = p_win.astype(jnp.float32).astype(self.dtype)
-        return p_win * 2 - opp_mass.sum(-1, keepdims=True)
+        # Direct sum (not buckets.sum) keeps the unsharded path bit-equal
+        # to the reference's vector_sum accumulation order.
+        return p_win * 2 - self._psum(opp_mass.sum(-1, keepdims=True))
 
     def _leaf_values(self, traverser, root, beliefs, S0, S1):
         """Leaf values under strategies (S0, S1) for ``traverser``:
         returns (val_liar1 [H], val2 [A, A, H]) with masked-invalid = 0."""
         game = self.game
-        A, H = game.num_actions, game.num_hands
+        A = game.num_actions
+        H = beliefs.shape[-1]  # local slice under hands sharding
         liar = game.liar_call
         opp = 1 - traverser
         m0 = self._m0(root)
@@ -163,8 +194,16 @@ class Grid2Solver:
             eps = reach_eps(self.dtype)
             i1 = jnp.asarray(pl[:, 0])
             i2 = jnp.asarray(pl[:, 1])
-            b0 = normalize_safe(reach2_p0[i1, i2], eps)  # [L, H]
-            b1 = normalize_safe(reach2_p1[i1, i2], eps)
+            b0 = self._norm_safe(reach2_p0[i1, i2], eps)  # [L, H(_local)]
+            b1 = self._norm_safe(reach2_p1[i1, i2], eps)
+            if self.hands_axis:
+                # The PBS query is the full belief vector by definition.
+                b0 = jax.lax.all_gather(
+                    b0, self.hands_axis, axis=-1, tiled=True
+                )
+                b1 = jax.lax.all_gather(
+                    b1, self.hands_axis, axis=-1, tiled=True
+                )
             onehot = jnp.asarray(
                 np.arange(A)[None, :] == pl[:, 1][:, None], self.dtype
             )
@@ -178,7 +217,8 @@ class Grid2Solver:
                 [player_col, trav_col, onehot, b0, b1], axis=-1
             )
             net_vals = self.value_fn(queries).astype(self.dtype)  # [L, H]
-            scale = r2_o[i1, i2].sum(-1, keepdims=True)
+            net_vals = self._local_hands(net_vals)
+            scale = self._psum(r2_o[i1, i2].sum(-1, keepdims=True))
             val2 = val2.at[i1, i2].set(net_vals * scale)
         # Zero out invalid pairs.
         val2 = val2 * self.m1[:, :, None]
@@ -218,7 +258,8 @@ class Grid2Solver:
     # ---------------------------------------------------------------- init
     def init(self, root: RootCtx, beliefs: jnp.ndarray) -> Grid2State:
         game = self.game
-        A, H = game.num_actions, game.num_hands
+        A = game.num_actions
+        H = beliefs.shape[-1]  # local slice under hands sharding
         dt = self.dtype
         m0 = self._m0(root)
         u0 = jnp.broadcast_to(

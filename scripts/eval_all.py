@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Evaluation sweep — the /root/reference/scripts/eval_all.py equivalent.
+
+The reference downloads released checkpoints for games
+(1,4),(1,5),(1,6),(2,3) x {fp,cfr} and runs ``recursive_eval`` with
+``--mdp_depth 2 --subgame_iters 1024 --num_repeats 1024``
+(eval_all.py:33-44,61-104), caching results beside each checkpoint and
+pivot-tabling full-tree vs ReBeL exploitability.  This sweep does the
+same over locally-trained checkpoints (``*.params`` exports) or the
+built-in oracle/zero nets.
+
+Usage:
+    python scripts/eval_all.py --net oracle --games 1x4 --solvers cfr \
+        --subgame-iters 256 --num-repeats 16
+    python scripts/eval_all.py --ckpt-root outputs/liars_sp --games 1x4 1x5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def parse_game(s: str) -> tuple[int, int]:
+    nd, nf = s.split("x")
+    return int(nd), int(nf)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--games", nargs="+", default=["1x4", "1x5", "1x6", "2x3"])
+    ap.add_argument("--solvers", nargs="+", default=["fp", "cfr"])
+    ap.add_argument("--net", default=None,
+                    help="'oracle', 'zero', or a .params path")
+    ap.add_argument("--ckpt-root", default=None,
+                    help="search <root>/.../ckpt/epoch*.params per game")
+    ap.add_argument("--subgame-iters", type=int, default=1024)
+    ap.add_argument("--num-repeats", type=int, default=1024)
+    ap.add_argument("--mdp-depth", type=int, default=2)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--out", default="eval_all_results.json")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from rebel_tpu.eval.recursive_eval import run_eval
+    from rebel_tpu.games.liars_dice import LiarsDice
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    rows = []
+    for gstr in args.games:
+        nd, nf = parse_game(gstr)
+        game = LiarsDice(num_dice=nd, num_faces=nf)
+        for solver in args.solvers:
+            params = SubgameSolvingParams(
+                num_iters=args.subgame_iters,
+                max_depth=args.mdp_depth,
+                linear_update=True,
+                use_cfr=solver == "cfr",
+            )
+            value_fn = None
+            net_name = args.net or "none"
+            if args.net == "oracle":
+                from rebel_tpu.nets.value_nets import make_oracle_value_fn
+
+                value_fn = make_oracle_value_fn(
+                    game, params.replace(max_depth=10**6), dtype=dtype
+                )
+            elif args.net == "zero":
+                from rebel_tpu.nets.value_nets import zero_value_fn
+
+                value_fn = zero_value_fn(game)
+            elif args.net:
+                from rebel_tpu.nets.cfv_net import CFVNetSpec
+                from rebel_tpu.training.trainer import load_params
+
+                spec = CFVNetSpec(game=game)
+                value_fn = spec.value_fn(load_params(args.net))
+            elif args.ckpt_root:
+                ckpts = sorted(
+                    pathlib.Path(args.ckpt_root).rglob("epoch*.params"),
+                    key=lambda p: int(p.stem[5:]),
+                )
+                if not ckpts:
+                    print(f"no checkpoints under {args.ckpt_root}; skipping")
+                    continue
+                from rebel_tpu.nets.cfv_net import CFVNetSpec
+                from rebel_tpu.training.trainer import load_params
+
+                net_name = str(ckpts[-1])
+                spec = CFVNetSpec(game=game)
+                value_fn = spec.value_fn(load_params(ckpts[-1]))
+
+            result = run_eval(
+                game,
+                params,
+                value_fn,
+                subgame_iters=args.subgame_iters,
+                num_repeats=args.num_repeats if value_fn is not None else 0,
+                mdp_depth=args.mdp_depth,
+                dtype=dtype,
+            )
+            rows.append(
+                {
+                    "game": gstr,
+                    "solver": solver,
+                    "net": net_name,
+                    "full_tree": result["exploitability"].get("full_tree"),
+                    "rebel": next(
+                        (
+                            v
+                            for k, v in result["exploitability"].items()
+                            if k.startswith("repeated")
+                        ),
+                        None,
+                    ),
+                }
+            )
+
+    # Pivot table (eval_all.py:124-158).
+    print(f"\n{'game':>6} {'solver':>6} {'full_tree':>12} {'rebel':>12}")
+    for r in rows:
+        reb = f"{r['rebel']:.6f}" if r["rebel"] is not None else "-"
+        print(f"{r['game']:>6} {r['solver']:>6} {r['full_tree']:>12.6f} {reb:>12}")
+    pathlib.Path(args.out).write_text(json.dumps(rows, indent=1))
+    print(f"\nwritten: {args.out}")
+
+
+if __name__ == "__main__":
+    main()
