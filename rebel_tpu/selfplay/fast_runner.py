@@ -97,7 +97,7 @@ class FastSelfPlayEngine:
         )
         hand = jax.random.categorical(k_hand, jnp.log(bel_actor))
         a_policy = jax.random.categorical(k_act, jnp.log(policy_row[hand]))
-        return jnp.where(explore, a_uniform, a_policy)
+        return jnp.where(explore, a_uniform, a_policy).astype(jnp.int32)
 
     def step(
         self, ep: EpisodeState, key: jax.Array, value_fn: ValueFn | None
@@ -144,12 +144,12 @@ class FastSelfPlayEngine:
             beliefs = jnp.where(
                 done1, beliefs, beliefs.at[actor1].set(row2)
             )
-            new_bid = jnp.where(done1, a1, a2)
-            new_player = jnp.where(done1, actor1, root.player)
+            new_bid = jnp.where(done1, a1, a2).astype(jnp.int32)
+            new_player = jnp.where(done1, actor1, root.player).astype(jnp.int32)
             ended = done1 | (a2 == liar)
         else:
             new_bid = a1
-            new_player = 1 - root.player
+            new_player = (1 - root.player).astype(jnp.int32)
             ended = done1
 
         fresh = EpisodeState.initial(game, dt)

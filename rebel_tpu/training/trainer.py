@@ -83,6 +83,13 @@ class TrainerConfig:
     exploit_every: int = 20
     exploit: bool = True
     eval_num_repeats: int = 0  # sampled-eval repeats (0 = single)
+    # Validation snapshots from replay (selfplay.py:352-362) and dataset
+    # dumps (selfplay.py:364-375) and buffer purging (selfplay.py:513-521).
+    create_validation_set_every: int = 100
+    validation_batches: int = 16
+    dump_dataset_every_epochs: int = 0
+    purging_epochs: tuple = ()
+    purging_share_keep: float = 0.0
     solver_dtype: Any = jnp.float32
 
 
@@ -267,8 +274,36 @@ class Trainer:
             state = self._gen(state)
 
         all_metrics = []
+        val_sets: list[tuple[str, np.ndarray, np.ndarray]] = []
         for epoch in range(int(state.epoch), max_epochs):
             t_epoch = time.time()
+            # Validation snapshots from the replay buffer
+            # (selfplay.py:352-362).
+            if (
+                cfg.create_validation_set_every
+                and epoch % cfg.create_validation_set_every == 0
+            ):
+                key, k_val = jax.random.split(state.key)
+                state = state._replace(key=key)
+                samp = rb.sample_uniform(
+                    state.replay, k_val,
+                    cfg.validation_batches * cfg.train_batch_size,
+                )
+                val_sets.append(
+                    (
+                        f"valid_snapshot_{epoch:04d}",
+                        np.asarray(samp.queries),
+                        np.asarray(samp.values),
+                    )
+                )
+            # Periodic dataset dump (selfplay.py:364-375).
+            if (
+                cfg.dump_dataset_every_epochs
+                and epoch % cfg.dump_dataset_every_epochs == 0
+            ):
+                dump_dir = self.out_dir / "dumped_data"
+                dump_dir.mkdir(parents=True, exist_ok=True)
+                rb.save(state.replay, str(dump_dir / f"data_{epoch:03d}.dat"))
             # Throttle: generate until the ratio is satisfied
             # (selfplay.py:391-405).
             t0 = time.time()
@@ -310,7 +345,23 @@ class Trainer:
             metrics["timing/gen"] = gen_time / (epoch + 1)
             metrics["timing/train"] = train_time / (epoch + 1)
 
+            # Purge the buffer at configured epochs (selfplay.py:513-521).
+            if cfg.purging_epochs and (epoch + 1) in cfg.purging_epochs:
+                new_size = max(
+                    2 * batch,
+                    int(cfg.purging_share_keep * int(state.replay.size)),
+                )
+                state = state._replace(
+                    replay=rb.pop_until(state.replay, new_size)
+                )
+
             if epoch % cfg.checkpoint_every == 0:
+                for name, vq, vv in val_sets:
+                    metrics[f"loss/{name}"] = float(
+                        self._loss_eval(
+                            state.params, jnp.asarray(vq), jnp.asarray(vv)
+                        )
+                    )
                 self.save_checkpoint(state, epoch)
             if cfg.exploit and cfg.exploit_every and epoch % cfg.exploit_every == 0:
                 t0 = time.time()

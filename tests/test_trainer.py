@@ -1,0 +1,113 @@
+"""Trainer integration tests: end-to-end epochs on CPU, metric-name
+parity with the reference (cfvpy/selfplay.py), checkpoint resume, and
+the SPMD mesh programs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rebel_tpu.selfplay.runner import RecursiveSolvingParams
+from rebel_tpu.solving.params import SubgameSolvingParams
+from rebel_tpu.training.trainer import Trainer, TrainerConfig, lr_schedule
+
+
+def small_cfg(**kw):
+    defaults = dict(
+        env=RecursiveSolvingParams(
+            num_dice=1,
+            num_faces=3,
+            subgame_params=SubgameSolvingParams(
+                num_iters=16, max_depth=2, linear_update=True, use_cfr=True
+            ),
+            random_action_prob=0.25,
+            sample_leaf=True,
+        ),
+        n_hidden=32,
+        n_layers=1,
+        train_epoch_size=128,
+        train_batch_size=32,
+        replay_capacity=2048,
+        selfplay_batch=16,
+        max_epochs=3,
+        exploit=False,
+        checkpoint_every=2,
+        create_validation_set_every=2,
+        solver_dtype=jnp.float32,
+    )
+    defaults.update(kw)
+    return TrainerConfig(**defaults)
+
+
+def test_trainer_epochs_and_metrics(tmp_path):
+    trainer = Trainer(small_cfg(), out_dir=tmp_path)
+    state, metrics = trainer.run()
+    assert len(metrics) == 3
+    m = metrics[-1]
+    # Reference metric names (selfplay.py:377-500).
+    for key in (
+        "loss/train",
+        "optim/lr",
+        "optim/grad_max",
+        "optim/grad_clip_ratio",
+        "buffer/size",
+        "buffer/added",
+        "bps/train",
+        "bps/gen_examples",
+        "shares/train_initial",
+    ):
+        assert key in m, key
+    assert np.isfinite(m["loss/train"])
+    assert (tmp_path / "metrics.jsonl").exists()
+    # Validation snapshot loss appears at checkpoint epochs.
+    assert any(k.startswith("loss/valid_snapshot_") for k in metrics[2])
+
+
+def test_trainer_resume(tmp_path):
+    trainer = Trainer(small_cfg(), out_dir=tmp_path)
+    state, _ = trainer.run()
+    ck = tmp_path / "ckpt" / "epoch2.ckpt"
+    assert ck.exists()
+    restored = trainer.load_checkpoint(str(ck))
+    assert int(restored.epoch) == 3
+    # Continue for 2 more epochs from the restored state.
+    state2, metrics2 = trainer.run(restored, max_epochs=5)
+    assert int(state2.epoch) == 5
+    assert len(metrics2) == 2
+
+
+def test_lr_schedule_halving():
+    cfg = small_cfg(decrease_lr_every=2, decrease_lr_times=2, lr=1.0)
+    sched = lr_schedule(cfg, steps_per_epoch=1)
+    got = [float(sched(jnp.asarray(e))) for e in range(8)]
+    # Halves at the start of epochs 1, 3 (k*every - 1), capped at 2 times.
+    assert got == [1.0, 0.5, 0.5, 0.25, 0.25, 0.25, 0.25, 0.25]
+
+
+def test_spmd_programs_run_and_learn():
+    from rebel_tpu.parallel.mesh import make_mesh, make_spmd_programs
+
+    n = 4
+    cfg = small_cfg(
+        selfplay_batch=2 * n,
+        train_batch_size=4 * n,
+        train_epoch_size=4 * n,
+        replay_capacity=64 * n,
+    )
+    trainer = Trainer(cfg)
+    mesh = make_mesh(n)
+    init_state, gen_step, train_step = make_spmd_programs(trainer, mesh)
+    st = init_state(seed=1)
+    episodes, replay, keys = gen_step(
+        st.params, st.episodes, st.replay, st.keys
+    )
+    assert int(np.asarray(replay.num_add).sum()) == 2 * cfg.selfplay_batch / n * n
+    losses = []
+    params, opt_state = st.params, st.opt_state
+    for _ in range(3):
+        episodes, replay, keys = gen_step(params, episodes, replay, keys)
+        params, opt_state, keys, loss = train_step(
+            params, opt_state, replay, keys
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
