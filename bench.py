@@ -61,18 +61,23 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1):
     eps = EpisodeState.initial_batch(engine.game, batch, jnp.float32)
     step = jax.jit(lambda e, k: engine.batch_step(e, k, value_fn))
 
+    import numpy as np
+
     key = jax.random.PRNGKey(1)
     for _ in range(warmup):
         key, sub = jax.random.split(key)
         eps, out = step(eps, jax.random.split(sub, batch))
-    jax.block_until_ready(eps)
+    # Hard device-to-host fetch: block_until_ready is not a reliable
+    # execution barrier on the tunneled backend in this environment.
+    float(np.asarray(out.values).sum())
 
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
         eps, out = step(eps, jax.random.split(sub, batch))
-    jax.block_until_ready(eps)
+    checksum = float(np.asarray(out.values).sum())
     wall = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     subgames = batch * steps
     return {

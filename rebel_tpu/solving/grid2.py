@@ -133,11 +133,13 @@ class Grid2Solver:
         own = self._local_hands(m.T[faces])  # [..., H_local]
         onehot = (own[..., None] == jnp.arange(D + 1)).astype(self.dtype)
         buckets = self._psum(
-            jnp.einsum("...o,...oj->...j", opp_mass, onehot)
-        )
+            (opp_mass[..., None] * onehot).sum(-2)
+        )  # [..., D+1]
         cum = jnp.cumsum(buckets[..., ::-1], axis=-1)[..., ::-1]
         left = jnp.clip(quantities[..., None] - own, 0, D)
-        p_win = jnp.take_along_axis(cum, left, axis=-1)
+        # One-hot select instead of a gather: D is tiny (total dice).
+        sel = (left[..., None] == jnp.arange(D + 1)).astype(self.dtype)
+        p_win = (cum[..., None, :] * sel).sum(-1)
         if f32_parity:
             p_win = p_win.astype(jnp.float32).astype(self.dtype)
         # Direct sum (not buckets.sum) keeps the unsharded path bit-equal
@@ -178,11 +180,16 @@ class Grid2Solver:
             jnp.arange(A), r2_o[:, liar, :], self.terminal_f32_parity
         )  # [A1, H]
 
-        # Level-2 pseudo-leaves: value net on the compact pair list.
-        val2 = jnp.zeros((A, A, H), self.dtype)
-        val2 = val2.at[:, liar, :].set(v2_liar)
+        # Level-2 pseudo-leaves: value net over the *dense* (a1, a2) grid
+        # (invalid/terminal pairs masked afterwards).  Dense rows cost a
+        # few extra MLP evaluations (A^2 vs ~A^2/2 valid) but keep the
+        # iteration free of gathers/scatters so XLA fuses it into a
+        # handful of kernels — the iteration loop is dispatch-bound, not
+        # FLOP-bound, at these tensor sizes.
+        pseudo_mask = self.m1 & (np.arange(A)[None, :] != liar)  # np static
+        liar_col = (jnp.arange(A) == liar).astype(self.dtype)
+        val2 = v2_liar[:, None, :] * liar_col[None, :, None]
         if self.L:
-            pl = self.pseudo_pairs
             r1_t = beliefs[traverser][None, :] * jnp.where(
                 root_is(traverser), S0.T, 1.0
             )
@@ -192,10 +199,8 @@ class Grid2Solver:
             reach2_p0 = jnp.where(traverser == 0, r2_t, r2_o)
             reach2_p1 = jnp.where(traverser == 0, r2_o, r2_t)
             eps = reach_eps(self.dtype)
-            i1 = jnp.asarray(pl[:, 0])
-            i2 = jnp.asarray(pl[:, 1])
-            b0 = self._norm_safe(reach2_p0[i1, i2], eps)  # [L, H(_local)]
-            b1 = self._norm_safe(reach2_p1[i1, i2], eps)
+            b0 = self._norm_safe(reach2_p0, eps)  # [A, A, H(_local)]
+            b1 = self._norm_safe(reach2_p1, eps)
             if self.hands_axis:
                 # The PBS query is the full belief vector by definition.
                 b0 = jax.lax.all_gather(
@@ -204,22 +209,25 @@ class Grid2Solver:
                 b1 = jax.lax.all_gather(
                     b1, self.hands_axis, axis=-1, tiled=True
                 )
-            onehot = jnp.asarray(
-                np.arange(A)[None, :] == pl[:, 1][:, None], self.dtype
+            hq = b0.shape[-1]
+            onehot2 = jnp.asarray(
+                np.broadcast_to(np.eye(A)[None, :, :], (A, A, A)), self.dtype
             )
-            player_col = jnp.broadcast_to(
-                root.player.astype(self.dtype), (self.L,)
-            )[:, None]
-            trav_col = jnp.broadcast_to(
-                jnp.asarray(traverser, self.dtype), (self.L,)
-            )[:, None]
+            player_col = jnp.full((A, A, 1), 0, self.dtype) + root.player.astype(
+                self.dtype
+            )
+            trav_col = jnp.full((A, A, 1), 0, self.dtype) + jnp.asarray(
+                traverser, self.dtype
+            )
             queries = jnp.concatenate(
-                [player_col, trav_col, onehot, b0, b1], axis=-1
+                [player_col, trav_col, onehot2, b0, b1], axis=-1
+            ).reshape(A * A, 2 + A + 2 * hq)
+            net_vals = self.value_fn(queries).astype(self.dtype)
+            net_vals = self._local_hands(net_vals).reshape(A, A, H)
+            scale = self._psum(r2_o.sum(-1, keepdims=True))  # [A, A, 1]
+            val2 = val2 + jnp.where(
+                jnp.asarray(pseudo_mask)[:, :, None], net_vals * scale, 0.0
             )
-            net_vals = self.value_fn(queries).astype(self.dtype)  # [L, H]
-            net_vals = self._local_hands(net_vals)
-            scale = self._psum(r2_o[i1, i2].sum(-1, keepdims=True))
-            val2 = val2.at[i1, i2].set(net_vals * scale)
         # Zero out invalid pairs.
         val2 = val2 * self.m1[:, :, None]
         return val_liar1, val2
@@ -234,19 +242,21 @@ class Grid2Solver:
         lvl1_is_trav = (root.player + 1) % 2 == traverser
 
         # Level-1 values.
-        v1_strat = jnp.einsum("ahb,abh->ah", S1 * m1[:, None, :], val2)
+        q2 = jnp.swapaxes(val2, 1, 2)  # [A1, H, A2]
+        v1_strat = (S1 * m1[:, None, :] * q2).sum(-1)  # [A1, H]
         v1_sum = val2.sum(axis=1)  # [A1, H] (masked already)
         V1 = jnp.where(lvl1_is_trav, v1_strat, v1_sum)
-        V1 = V1.at[liar].set(val_liar1)
+        is_liar_row = (jnp.arange(m1.shape[0]) == liar)[:, None]
+        V1 = jnp.where(is_liar_row, val_liar1[None, :], V1)
         dR1 = None
         if with_regrets:
-            inc1 = jnp.swapaxes(val2, 1, 2) - V1[:, :, None]  # [A1, H, A2]
+            inc1 = q2 - V1[:, :, None]  # [A1, H, A2]
             dR1 = jnp.where(
                 lvl1_is_trav & m1[:, None, :] & m0[:, None, None], inc1, 0.0
             )
 
         root_is_trav = root.player == traverser
-        v0_strat = jnp.einsum("ha,ah->h", S0 * m0[None, :], V1)
+        v0_strat = (S0 * m0[None, :] * V1.T).sum(-1)  # [H]
         v0_sum = (V1 * m0[:, None]).sum(axis=0)
         V0 = jnp.where(root_is_trav, v0_strat, v0_sum)
         dR0 = None

@@ -40,7 +40,13 @@ def test_grid2_matches_generic(use_cfr, net):
     if net == "zero":
         value_fn = zero_value_fn(game)
     else:
-        spec = CFVNetSpec(game=game, n_hidden=32, n_layers=2)
+        # f64 net: the grid solver evaluates the net on a dense (a1, a2)
+        # batch while the generic solver uses the compact pseudo-leaf
+        # list; in reduced precision the different batch shapes change
+        # matmul accumulation order at the net's own noise floor.
+        spec = CFVNetSpec(
+            game=game, n_hidden=32, n_layers=2, compute_dtype=jnp.float64
+        )
         p = spec.init_params(jax.random.PRNGKey(3))
         value_fn = spec.value_fn(p)
 
