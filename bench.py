@@ -94,11 +94,36 @@ def main():
     ap.add_argument("--num_iters", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
+    ap.add_argument(
+        "--cycles", type=int, default=0,
+        help="gen_benchmark mode: print items/per_second every cycle "
+        "(gen_benchmark.cc:147-153)",
+    )
+    ap.add_argument(
+        "--profile", default=None,
+        help="write a jax.profiler trace to this directory",
+    )
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.num_iters, args.steps = 64, 32, 2
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+    if args.cycles:
+        # Periodic reporting like the reference's datagen benchmark.
+        total_items = 0
+        t_start = time.perf_counter()
+        for cycle in range(args.cycles):
+            r = measure(args.batch, args.num_iters, args.steps, warmup=1 if cycle == 0 else 0)
+            total_items += int(r["examples_per_s"] * r["wall_s"])
+            elapsed = time.perf_counter() - t_start
+            print(
+                f"cycle {cycle}: items {total_items} "
+                f"per_second {total_items / elapsed:.2f}"
+            )
     res = measure(args.batch, args.num_iters, args.steps)
+    if args.profile:
+        jax.profiler.stop_trace()
 
     vs_baseline = None
     if REF_BASELINE_PATH.exists():

@@ -220,6 +220,7 @@ def compute_strategy_recursive_to_leaf(
     value_fn: ValueFn | None = None,
     use_sampling_strategy: bool = False,
     sample_iters_seed: int | None = None,
+    root_only: bool = False,
     dtype=jnp.float64,
 ) -> np.ndarray:
     """Whole-subgame-copy recursion (compute_strategy_recursive_to_leaf,
@@ -232,9 +233,19 @@ def compute_strategy_recursive_to_leaf(
     (recursive_solving.cc:301-327): each subgame stops at a random even
     iteration with linear weights, and the *sampling* strategy is copied
     (``use_sampling_strategy=True`` implied by the reference call site).
+
+    ``root_only``: only the root subgame is depth-limited; recursion
+    below uses full-depth solves (recursive_solving.cc:320-322).
     """
     full = unroll_tree(game)
     bsolver = BatchSubgameSolver(game, params, dtype, value_fn)
+    deep_solver = (
+        BatchSubgameSolver(
+            game, params, dtype, value_fn, max_depth=game.max_depth
+        )
+        if root_only
+        else bsolver
+    )
     sup = bsolver.tree
     eps = reach_eps(dtype)
     H, A = game.num_hands, game.num_actions
@@ -250,23 +261,27 @@ def compute_strategy_recursive_to_leaf(
         use_sampling_strategy = True
 
     frontier = [(0, np.full((2, H), 1.0 / H))]
+    at_root = True
     while frontier:
         frontier = [(n, b) for n, b in frontier if not full.is_terminal[n]]
         if not frontier:
             break
+        solver_i = bsolver if at_root else deep_solver
+        at_root = False
         bids, players, (avg, samp, reaches) = _solve_frontier(
-            bsolver, frontier, full, rng, iteration_weights
+            solver_i, frontier, full, rng, iteration_weights
         )
         copy_strat = np.asarray(samp if use_sampling_strategy else avg)
         reaches = np.asarray(reaches)  # [B, 2, N_sup, H]
         next_frontier = []
+        sup_i = solver_i.tree
         for i, (n, _) in enumerate(frontier):
-            m = _map_supertree_to_full(sup, full, n)
+            m = _map_supertree_to_full(sup_i, full, n)
             valid = m != NO_CHILD
             strategy[m[valid]] = copy_strat[i][valid]
             # Recurse at non-terminal subgame leaves with the path-product
             # beliefs, normalized (recursive_solving.cc:126-132).
-            for s in np.nonzero(valid & sup.is_leaf & ~sup.is_terminal)[0]:
+            for s in np.nonzero(valid & sup_i.is_leaf & ~sup_i.is_terminal)[0]:
                 fn = int(m[s])
                 if full.num_children[fn] == 0:
                     continue  # full-tree leaf: nothing below
@@ -286,6 +301,7 @@ def compute_sampled_strategy_recursive_to_leaf(
     params: SubgameSolvingParams,
     value_fn: ValueFn | None = None,
     seed: int = 0,
+    root_only: bool = False,
     dtype=jnp.float64,
 ) -> np.ndarray:
     """Training-time-emulating sampled strategy
@@ -296,5 +312,6 @@ def compute_sampled_strategy_recursive_to_leaf(
         value_fn,
         use_sampling_strategy=True,
         sample_iters_seed=seed,
+        root_only=root_only,
         dtype=dtype,
     )

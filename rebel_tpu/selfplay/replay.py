@@ -213,3 +213,15 @@ def load_into(replay: Replay, path: str, priority: float = 1.0,
     prioritized_replay.h:329-335; used by cfvpy/selfplay.py:613-621)."""
     q, v = load_file(path, max_size=max_size, stride=stride)
     return add(replay, jnp.asarray(q), jnp.asarray(v), priority, alpha)
+
+
+# ------------------------------------------------------------ compression
+def quantize(values: jnp.ndarray) -> jnp.ndarray:
+    """Byte-quantize values in [0, 1] (rela/types.h:30-33; unused by the
+    trained config but kept for parity)."""
+    return jnp.clip(values * 255 + 0.5, 0.0, 255.5).astype(jnp.uint8)
+
+
+def dequantize(values: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`quantize` (rela/types.h:35-37)."""
+    return values.astype(jnp.float32) / 255.0

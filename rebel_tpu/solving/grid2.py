@@ -313,10 +313,11 @@ class Grid2Solver:
         regrets0 = state.regrets0 + dR0
         regrets1 = state.regrets1 + dR1
 
-        n = state.num_steps[traverser].astype(dt)
+        tr_onehot = (jnp.arange(2) == traverser)  # [2]
+        n = (state.num_steps * tr_onehot).sum().astype(dt)
         alpha = 2.0 / (n + 2.0) if p.linear_update else 1.0 / (n + 1.0)
         rvm = state.root_values_means
-        rvm = rvm.at[traverser].add((V0 - rvm[traverser]) * alpha)
+        rvm = rvm + tr_onehot[:, None] * (V0[None, :] - rvm) * alpha
 
         num_strategies = n + 1.0
         one = jnp.asarray(1.0, dt)
@@ -381,7 +382,7 @@ class Grid2Solver:
             sum1=sum1,
             last1=last1,
             root_values_means=rvm,
-            num_steps=state.num_steps.at[traverser].add(1),
+            num_steps=state.num_steps + tr_onehot.astype(jnp.int32),
             beliefs=state.beliefs,
         )
 
@@ -426,12 +427,13 @@ class Grid2Solver:
         v0_sum = jnp.where(m0[:, None], V1, 0.0).sum(axis=0)
         V0 = jnp.where(root_is_trav, v0_max, v0_sum)
 
+        tr_onehot = (jnp.arange(2) == traverser)  # [2]
         num_update = (state.num_steps.sum() // 2 + 1).astype(dt)
         alpha = (
             2.0 / (num_update + 1.0) if p.linear_update else 1.0 / num_update
         )
         rvm = state.root_values_means
-        rvm = rvm.at[traverser].add((V0 - rvm[traverser]) * alpha)
+        rvm = rvm + tr_onehot[:, None] * (V0[None, :] - rvm) * alpha
 
         decay = (
             (num_update + 1.0) / (num_update + 2.0) if p.linear_update else 1.0
@@ -453,7 +455,7 @@ class Grid2Solver:
             sum1=sum1,
             last1=last1,
             root_values_means=rvm,
-            num_steps=state.num_steps.at[traverser].add(1),
+            num_steps=state.num_steps + tr_onehot.astype(jnp.int32),
             beliefs=state.beliefs,
         )
 

@@ -87,6 +87,8 @@ class TrainerConfig:
     # dumps (selfplay.py:364-375) and buffer purging (selfplay.py:513-521).
     create_validation_set_every: int = 100
     validation_batches: int = 16
+    # Dataset preload before training (selfplay.py:273-278, 613-621).
+    train_preload: str | None = None
     dump_dataset_every_epochs: int = 0
     purging_epochs: tuple = ()
     purging_share_keep: float = 0.0
@@ -268,6 +270,14 @@ class Trainer:
         self.out_dir.mkdir(parents=True, exist_ok=True)
         gen_time = train_time = 0.0
         gen_rows_total = 0
+
+        # Dataset preload (selfplay.py:273-278): load a reference-format
+        # dump into the replay before generation starts.
+        if cfg.train_preload and int(state.replay.num_add) == 0:
+            log.info("Preloading dataset from %s", cfg.train_preload)
+            state = state._replace(
+                replay=rb.load_into(state.replay, cfg.train_preload)
+            )
 
         # Burn-in (selfplay.py:314-327).
         while int(state.replay.size) < 2 * batch:
