@@ -50,7 +50,8 @@ class CFVNet(nn.Module):
             x = nn.Dense(self.n_hidden, dtype=self.compute_dtype)(x)
             if self.use_layer_norm:
                 x = nn.LayerNorm(dtype=self.compute_dtype)(x)
-            x = nn.gelu(x)
+            # Exact (erf) GELU to match torch F.gelu (models.py:97-99).
+            x = nn.gelu(x, approximate=False)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         # Head init scaled by 0.01 (models.py:88-91).  The reference scales

@@ -1,0 +1,76 @@
+"""Import reference PyTorch checkpoints into CFVNet params.
+
+The reference releases ``Net2`` state-dict checkpoints
+(/root/reference/cfvpy/models.py:64-94, downloaded by
+scripts/eval_all.py:38-44) and exports TorchScript for its C++ eval.
+This module maps a ``Net2`` state dict onto the flax :class:`CFVNet`
+parameter tree so reference-trained models can be evaluated inside this
+framework.
+
+Layout correspondence (use_layer_norm=True, dropout=0):
+
+    torch ``body.{4k+0}`` Linear     -> flax ``Dense_k`` (kernel = W.T)
+    torch ``body.{4k+1}`` LayerNorm  -> flax ``LayerNorm_k``
+    torch ``output``      Linear     -> flax ``Dense_{n_layers}``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rebel_tpu.games.liars_dice import LiarsDice
+from rebel_tpu.nets.cfv_net import CFVNetSpec
+
+
+def net2_state_dict_to_params(
+    state_dict: dict, spec: CFVNetSpec
+) -> dict:
+    """Build a flax params pytree from a torch ``Net2`` state dict."""
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+    }
+    stride = 4  # [Linear, norm, act, dropout] per layer (models.py:41-49)
+    params: dict = {}
+    for k in range(spec.n_layers):
+        w = sd[f"body.{stride * k}.weight"]
+        b = sd[f"body.{stride * k}.bias"]
+        params[f"Dense_{k}"] = {"kernel": w.T, "bias": b}
+        if spec.use_layer_norm:
+            params[f"LayerNorm_{k}"] = {
+                "scale": sd[f"body.{stride * k + 1}.weight"],
+                "bias": sd[f"body.{stride * k + 1}.bias"],
+            }
+    params[f"Dense_{spec.n_layers}"] = {
+        "kernel": sd["output.weight"].T,
+        "bias": sd["output.bias"],
+    }
+    return {"params": params}
+
+
+def load_net2_checkpoint(path: str, game: LiarsDice, **spec_kwargs):
+    """Load a reference ``.ckpt`` (torch.save of state_dict) into
+    (CFVNetSpec, params)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    hidden = sd["output.weight"].shape[1]
+    n_layers = (
+        max(
+            int(k.split(".")[1])
+            for k in sd
+            if k.startswith("body.") and k.endswith(".weight")
+        )
+        // 4
+        + 1
+    )
+    spec = CFVNetSpec(
+        game=game,
+        n_hidden=hidden,
+        n_layers=n_layers,
+        use_layer_norm=any(".1.weight" in k for k in sd),
+        **spec_kwargs,
+    )
+    return spec, net2_state_dict_to_params(sd, spec)

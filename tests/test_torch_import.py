@@ -1,0 +1,64 @@
+"""Reference-checkpoint interop: a torch Net2's outputs must match the
+imported CFVNet exactly (both are float32 MLPs with identical math)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from rebel_tpu import LiarsDice
+from rebel_tpu.nets.torch_import import load_net2_checkpoint
+
+
+def build_reference_net2(game, n_hidden=32, n_layers=2):
+    """A faithful torch replica of the reference Net2 architecture
+    (cfvpy/models.py:20-94) for generating test checkpoints."""
+    from torch import nn
+
+    n_in = game.query_size
+
+    class GELU(nn.Module):
+        def forward(self, x):
+            return nn.functional.gelu(x)
+
+    layers = []
+    last = n_in
+    for _ in range(n_layers):
+        layers += [
+            nn.Linear(last, n_hidden),
+            nn.LayerNorm(n_hidden),
+            GELU(),
+            nn.Sequential(),
+        ]
+        last = n_hidden
+
+    class Net2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(*layers)
+            self.output = nn.Linear(n_hidden, game.num_hands)
+            with torch.no_grad():
+                self.output.weight.data *= 0.01
+                self.output.bias *= 0.01
+
+        def forward(self, x):
+            return self.output(self.body(x))
+
+    return Net2()
+
+
+def test_net2_import_matches_torch(tmp_path):
+    game = LiarsDice(num_dice=1, num_faces=4)
+    torch.manual_seed(0)
+    net = build_reference_net2(game)
+    path = tmp_path / "ref.ckpt"
+    torch.save(net.state_dict(), path)
+
+    spec, params = load_net2_checkpoint(str(path), game)
+    assert spec.n_hidden == 32 and spec.n_layers == 2 and spec.use_layer_norm
+
+    x = np.random.RandomState(1).rand(16, game.query_size).astype(np.float32)
+    with torch.no_grad():
+        expect = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(spec.value_fn(params)(x))
+    np.testing.assert_allclose(got, expect, atol=2e-6)
