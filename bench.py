@@ -38,9 +38,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.json"
 
 
-def measure(batch: int, num_iters: int, steps: int, warmup: int = 1):
+def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
+            layout: str = "batch_last"):
     from rebel_tpu.nets.cfv_net import CFVNetSpec
-    from rebel_tpu.selfplay.fast_runner import make_engine
+    from rebel_tpu.selfplay.fast_runner import FastBatchedEngine, make_engine
     from rebel_tpu.selfplay.runner import EpisodeState, RecursiveSolvingParams
     from rebel_tpu.solving.params import SubgameSolvingParams
 
@@ -53,13 +54,23 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1):
         random_action_prob=0.25,
         sample_leaf=True,
     )
-    engine = make_engine(cfg, dtype=jnp.float32)
-    spec = CFVNetSpec(game=engine.game, compute_dtype=jnp.bfloat16)
+    spec_dtype = jnp.bfloat16
+    if layout == "batch_last":
+        engine = FastBatchedEngine(
+            cfg=cfg, dtype=jnp.float32, net_compute_dtype=spec_dtype
+        )
+    else:
+        engine = make_engine(cfg, dtype=jnp.float32)
+    spec = CFVNetSpec(game=engine.game, compute_dtype=spec_dtype)
     params = spec.init_params(jax.random.PRNGKey(0))
-    value_fn = spec.value_fn(params)
+    net_arg = (
+        params
+        if getattr(engine, "wants_params", False)
+        else spec.value_fn(params)
+    )
 
     eps = EpisodeState.initial_batch(engine.game, batch, jnp.float32)
-    step = jax.jit(lambda e, k: engine.batch_step(e, k, value_fn))
+    step = jax.jit(lambda e, k: engine.batch_step(e, k, net_arg))
 
     import numpy as np
 
@@ -103,6 +114,10 @@ def main():
         "--profile", default=None,
         help="write a jax.profiler trace to this directory",
     )
+    ap.add_argument(
+        "--layout", default="batch_last",
+        choices=("batch_last", "batch_first"),
+    )
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.num_iters, args.steps = 64, 32, 2
@@ -114,14 +129,15 @@ def main():
         total_items = 0
         t_start = time.perf_counter()
         for cycle in range(args.cycles):
-            r = measure(args.batch, args.num_iters, args.steps, warmup=1 if cycle == 0 else 0)
+            r = measure(args.batch, args.num_iters, args.steps,
+                        warmup=1 if cycle == 0 else 0, layout=args.layout)
             total_items += int(r["examples_per_s"] * r["wall_s"])
             elapsed = time.perf_counter() - t_start
             print(
                 f"cycle {cycle}: items {total_items} "
                 f"per_second {total_items / elapsed:.2f}"
             )
-    res = measure(args.batch, args.num_iters, args.steps)
+    res = measure(args.batch, args.num_iters, args.steps, layout=args.layout)
     if args.profile:
         jax.profiler.stop_trace()
 

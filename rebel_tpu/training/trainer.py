@@ -183,12 +183,16 @@ class Trainer:
             """`gen_chunk_steps` lockstep engine steps; each pushes
             2 * selfplay_batch examples with priority 1
             (data_loop.h:50-55)."""
-            value_fn = net_spec.value_fn(params)
+            net_arg = (
+                params
+                if getattr(engine, "wants_params", False)
+                else net_spec.value_fn(params)
+            )
 
             def body(carry, k):
                 eps, rep = carry
                 keys = jax.random.split(k, cfg.selfplay_batch)
-                eps, out = engine.batch_step(eps, keys, value_fn)
+                eps, out = engine.batch_step(eps, keys, net_arg)
                 q = out.queries.reshape(-1, game.query_size)
                 v = out.values.reshape(-1, game.num_hands)
                 rep = rb.add(rep, q, v, 1.0, cfg.replay_alpha)
