@@ -115,7 +115,7 @@ def main():
         help="write a jax.profiler trace to this directory",
     )
     ap.add_argument(
-        "--layout", default="batch_last",
+        "--layout", default="batch_first",
         choices=("batch_last", "batch_first"),
     )
     args = ap.parse_args()

@@ -138,9 +138,13 @@ def make_spmd_programs(trainer, mesh: Mesh, axis: str = "data"):
         to the device-local ring."""
         replay = _local_replay(replay)
         key, k = jax.random.split(keys[0])
-        value_fn = net_spec.value_fn(params)
+        net_arg = (
+            params
+            if getattr(engine, "wants_params", False)
+            else net_spec.value_fn(params)
+        )
         lane_keys = jax.random.split(k, local_lanes)
-        episodes, out = engine.batch_step(episodes, lane_keys, value_fn)
+        episodes, out = engine.batch_step(episodes, lane_keys, net_arg)
         q = out.queries.reshape(-1, game.query_size)
         v = out.values.reshape(-1, game.num_hands)
         replay = rb.add(replay, q, v, 1.0, cfg.replay_alpha)

@@ -191,3 +191,24 @@ def test_fast_engine_runs_episodes():
         np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-9)
         assert np.all(np.asarray(eps.root_bid) < game.liar_call)
     assert ended_any
+
+
+def test_grid2_compact_queries_matches_dense():
+    game = LiarsDice(num_dice=1, num_faces=4)
+    params = SubgameSolvingParams(
+        num_iters=16, max_depth=2, linear_update=True, use_cfr=True
+    )
+    spec = CFVNetSpec(game=game, n_hidden=24, n_layers=1,
+                      compute_dtype=jnp.float64)
+    vf = spec.value_fn(spec.init_params(jax.random.PRNGKey(1)))
+    dense = Grid2Solver(game=game, params=params, dtype=DT, value_fn=vf)
+    compact = Grid2Solver(game=game, params=params, dtype=DT, value_fn=vf,
+                          compact_queries=True)
+    root = RootCtx.of(game, 2, 1)
+    beliefs = jnp.full((2, game.num_hands), 1.0 / game.num_hands)
+    sd = jax.jit(dense.multistep)(dense.init(root, beliefs), root)
+    sc = jax.jit(compact.multistep)(compact.init(root, beliefs), root)
+    np.testing.assert_allclose(
+        np.asarray(sc.root_values_means), np.asarray(sd.root_values_means),
+        atol=1e-12,
+    )
