@@ -59,6 +59,12 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
         engine = FastBatchedEngine(
             cfg=cfg, dtype=jnp.float32, net_compute_dtype=spec_dtype
         )
+    elif layout == "pallas":
+        from rebel_tpu.selfplay.fast_runner import FastPallasEngine
+
+        engine = FastPallasEngine(
+            cfg=cfg, dtype=jnp.float32, net_compute_dtype=spec_dtype
+        )
     else:
         engine = make_engine(cfg, dtype=jnp.float32)
     spec = CFVNetSpec(game=engine.game, compute_dtype=spec_dtype)
@@ -116,7 +122,7 @@ def main():
     )
     ap.add_argument(
         "--layout", default="batch_first",
-        choices=("batch_last", "batch_first"),
+        choices=("batch_last", "batch_first", "pallas"),
     )
     args = ap.parse_args()
     if args.smoke:

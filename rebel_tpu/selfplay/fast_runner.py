@@ -299,3 +299,106 @@ class FastBatchedEngine:
             )
 
         return jax.vmap(per_lane)(eps, keys, p0, p1, values)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class FastPallasEngine:
+    """Self-play engine whose whole subgame solve (state + terminal
+    operator + CFV MLP, all ``num_iters`` iterations) runs inside one
+    Pallas TPU kernel per block of lanes
+    (:class:`rebel_tpu.solving.grid2p.Grid2PallasSolver`)."""
+
+    cfg: RecursiveSolvingParams
+    dtype: jnp.dtype = jnp.float32
+    lane_block: int = 128
+    net_compute_dtype: jnp.dtype = jnp.float32
+    interpret: bool = False
+
+    wants_params = True
+
+    def __post_init__(self):
+        assert self.cfg.subgame_params.max_depth == 2
+        object.__setattr__(self, "game", self.cfg.game)
+
+    def batch_step(self, eps: EpisodeState, keys: jax.Array, net_params):
+        from rebel_tpu.solving.grid2p import Grid2PallasSolver
+
+        game = self.game
+        sub = self.cfg.subgame_params
+        B = keys.shape[0]
+        solver = Grid2PallasSolver(
+            game=game,
+            params=sub,
+            lane_block=min(self.lane_block, B),
+            net_compute_dtype=self.net_compute_dtype,
+            interpret=self.interpret,
+        )
+        k_solve = jax.vmap(lambda k: jax.random.split(k, 4)[0])(keys)
+        t = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, sub.num_iters + 1)
+        )(k_solve)
+        beliefs = jnp.moveaxis(eps.beliefs, 0, 1)  # [B,2,H] already
+        out = solver.solve(
+            eps.root_bid, eps.root_player, eps.beliefs, t, net_params
+        )
+
+        walker = FastSelfPlayEngine(cfg=self.cfg, dtype=self.dtype)
+
+        def per_lane(ep, key, p0_l, p1_l, vals):
+            _, k_br, k_a1, k_a2 = jax.random.split(key, 4)
+            from rebel_tpu.solving.core import RootCtx
+
+            root_l = RootCtx.of(game, ep.root_bid, ep.root_player)
+            queries = jnp.stack(
+                [
+                    walker._root_query(ep.beliefs, jnp.int32(0), root_l),
+                    walker._root_query(ep.beliefs, jnp.int32(1), root_l),
+                ]
+            )
+            liar = game.liar_call
+            eps_reach = reach_eps(self.dtype)
+            br_sampler = jax.random.randint(k_br, (), 0, 2)
+            beliefs = ep.beliefs
+            actor0 = root_l.player
+            a1 = walker._sample_action(
+                k_a1, p0_l, root_l.mask, beliefs[actor0],
+                actor0 == br_sampler,
+            )
+            row = normalize_safe(beliefs[actor0] * p0_l[:, a1], eps_reach)
+            beliefs = beliefs.at[actor0].set(row)
+            done1 = a1 == liar
+            if self.cfg.sample_leaf:
+                actor1 = (root_l.player + 1) % 2
+                m1_row = (jnp.arange(game.num_actions) > a1) & (a1 != liar)
+                a2 = walker._sample_action(
+                    k_a2, p1_l[a1], m1_row, beliefs[actor1],
+                    actor1 == br_sampler,
+                )
+                row2 = normalize_safe(
+                    beliefs[actor1] * p1_l[a1, :, a2], eps_reach
+                )
+                beliefs = jnp.where(
+                    done1, beliefs, beliefs.at[actor1].set(row2)
+                )
+                new_bid = jnp.where(done1, a1, a2).astype(jnp.int32)
+                new_player = jnp.where(
+                    done1, actor1, root_l.player
+                ).astype(jnp.int32)
+                ended = done1 | (a2 == liar)
+            else:
+                new_bid = a1
+                new_player = (1 - root_l.player).astype(jnp.int32)
+                ended = done1
+            fresh = EpisodeState.initial(game, self.dtype)
+            new_ep = EpisodeState(
+                root_bid=jnp.where(ended, fresh.root_bid, new_bid),
+                root_player=jnp.where(ended, fresh.root_player, new_player),
+                beliefs=jnp.where(ended, fresh.beliefs, beliefs),
+            )
+            return new_ep, StepOutput(
+                queries=queries, values=vals, ended=ended
+            )
+
+        return jax.vmap(per_lane)(
+            eps, keys, out.snap0, out.snap1, out.rvm
+        )

@@ -1,0 +1,573 @@
+"""Pallas TPU kernel: the whole depth-2 subgame solve in one kernel.
+
+The XLA lowering of the iteration loop (grid2/grid2b) dispatches dozens
+of small kernels per CFR iteration; at the production sizes the loop is
+dispatch/HBM-bound, not FLOP-bound.  This module fuses the *entire*
+``num_iters`` iteration loop — solver state, terminal operator, and the
+CFV MLP — into a single Pallas kernel per block of lanes:
+
+* grid: ``B / LANE_BLOCK`` programs; each owns ``LANE_BLOCK`` subgames;
+* all solver state lives in VMEM for the whole loop (``~6 KB/lane``);
+* tensors are laid out batch-last (``[..., LANE_BLOCK]``) so the vector
+  lanes parallelize across subgames (see grid2b.py for the layout
+  rationale);
+* the MLP runs transposed on the MXU (``W.T @ X``), with the compact
+  pseudo-leaf pair list assembled by static unrolled slicing;
+* HBM traffic per solve is one read of the inputs and one write of the
+  outputs — nothing per iteration.
+
+Math is identical to grid2/grid2b (see tests/test_grid2_pallas.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rebel_tpu.games.liars_dice import INITIAL_ACTION, LiarsDice
+from rebel_tpu.solving.core import reach_eps, regret_eps
+from rebel_tpu.solving.params import SubgameSolvingParams
+
+
+class Grid2PallasOutputs(NamedTuple):
+    rvm: jnp.ndarray  # [B, 2, H]
+    snap0: jnp.ndarray  # [B, H, A]  sampling policy at per-lane t
+    snap1: jnp.ndarray  # [B, A, H, A]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class Grid2PallasSolver:
+    """Fused multistep for the depth-2 production configuration."""
+
+    game: LiarsDice
+    params: SubgameSolvingParams
+    lane_block: int = 128
+    net_compute_dtype: Any = jnp.float32
+    interpret: bool = False
+
+    def __post_init__(self):
+        assert self.params.max_depth == 2
+        game = self.game
+        A = game.num_actions
+        liar = game.liar_call
+        a1g, a2g = np.meshgrid(np.arange(A), np.arange(A), indexing="ij")
+        m1 = (a2g > a1g) & (a1g != liar)
+        object.__setattr__(self, "m1_np", m1)
+        pl_pairs = np.stack(np.nonzero(m1 & (a2g != liar)), axis=1)
+        object.__setattr__(self, "pairs", pl_pairs)  # [P, 2]
+
+    # ------------------------------------------------------------- kernel
+    def _kernel(self, net_param_list, m1_ref, matches_ref, payoff_ref,
+                bel_ref, bid_ref, player_ref, t_ref,
+                rvm_ref, snap0_ref, snap1_ref):
+        game = self.game
+        p = self.params
+        A, H = game.num_actions, game.num_hands
+        D = game.total_num_dice
+        liar = game.liar_call
+        LB = self.lane_block
+        dt = jnp.float32
+        eps_regret = regret_eps(dt)
+        eps_reach = reach_eps(dt)
+        m1f = m1_ref[...]  # [A1, A2] f32
+        matches_f = matches_ref[...]  # [H, F] f32
+
+        bid = bid_ref[0, :]  # [LB] i32
+        player = player_ref[0, :]
+        t_stop = t_ref[0, :]
+        beliefs = bel_ref[...]  # [2, H, LB]
+        arangeA = jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0)  # [A,1]
+        m0 = (arangeA > bid[None, :]) & (
+            (bid[None, :] != INITIAL_ACTION) | (arangeA != liar)
+        )  # [A, LB]
+        m0f = m0.astype(dt)
+
+        bel_p0, bel_p1 = beliefs[0], beliefs[1]  # [H, LB]
+        root_is0 = (player == 0)[None, :]  # [1, LB]
+        bel_root = jnp.where(root_is0, bel_p0, bel_p1)
+        bel_lvl1 = jnp.where(root_is0, bel_p1, bel_p0)
+
+        # Uniform init (subgame_solving.cc:125-149).
+        u0 = jnp.broadcast_to(
+            (m0f / jnp.maximum(m0f.sum(0, keepdims=True), 1.0))[None],
+            (H, A, LB),
+        )
+        u1row = m1f / jnp.maximum(m1f.sum(1, keepdims=True), 1.0)
+        u1 = jnp.broadcast_to(u1row[:, None, :, None], (A, H, A, LB))
+
+        def win_values_root(opp_mass):
+            """Terminal payoff vs dynamic root bid: [H, LB]."""
+            faces = bid % game.num_faces  # [LB]
+            quant = 1 + bid // game.num_faces
+            fsel = (
+                faces[None, :]
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (game.num_faces, 1), 0
+                )
+            ).astype(dt)  # [F, LB]
+            own = jnp.einsum(
+                "hf,fb->hb", matches_f, fsel,
+                preferred_element_type=dt,
+            )  # [H, LB]
+            onehot = (
+                own[:, None, :]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, D + 1, 1), 1)
+            ).astype(dt)  # [H, D+1, LB]
+            buckets = (opp_mass[:, None, :] * onehot).sum(0)  # [D+1, LB]
+            cum = jnp.cumsum(buckets[::-1, :], axis=0)[::-1, :]
+            left = jnp.clip(quant[None, :] - own, 0, D)  # [H, LB]
+            sel = (
+                left[:, None, :]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, D + 1, 1), 1)
+            ).astype(dt)
+            p_win = (cum[None] * sel).sum(1)  # [H, LB]
+            return p_win * 2 - opp_mass.sum(0, keepdims=True)
+
+        def win_values_lvl2(opp_mass):
+            """Terminal payoff of challenged bid a1: opp_mass [A1, H, LB]
+            -> [A1, H, LB] via the static payoff tensor (einsum on MXU;
+            the liar row of the padded tensor is zero)."""
+            return jnp.einsum(
+                "aho,aob->ahb", payoff_ref[...], opp_mass,
+                preferred_element_type=dt,
+            )
+
+        def mlp(x):
+            """x [Q, N] -> [H, N] via the CFVNet params (transposed)."""
+            if not net_param_list:
+                return jnp.zeros((H, x.shape[1]), dt)
+            cdt = self.net_compute_dtype
+            x = x.astype(cdt)
+            i = 0
+            n_layers = (len(net_param_list) - 2) // 4
+            for _ in range(n_layers):
+                W, b, scale, bias = net_param_list[i : i + 4]
+                i += 4
+                x = (
+                    jnp.dot(
+                        W[...].astype(cdt).T, x, preferred_element_type=cdt
+                    )
+                    + b[...].astype(cdt)[:, None]
+                )
+                mu = x.mean(axis=0, keepdims=True)
+                var = ((x - mu) ** 2).mean(axis=0, keepdims=True)
+                x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+                x = x * scale[...].astype(cdt)[:, None] + bias[...].astype(
+                    cdt
+                )[:, None]
+                x = jax.nn.gelu(x, approximate=False)
+            W, b = net_param_list[i : i + 2]
+            x = (
+                jnp.dot(W[...].astype(cdt).T, x, preferred_element_type=cdt)
+                + b[...].astype(cdt)[:, None]
+            )
+            return x.astype(dt)
+
+        P = self.pairs.shape[0]
+
+        def leaf_values(traverser, S0, S1):
+            trav_is0 = traverser == 0
+            bel_opp = jnp.where(trav_is0, bel_p1, bel_p0)
+            bel_trav = jnp.where(trav_is0, bel_p0, bel_p1)
+            opp_is_root = jnp.logical_xor(root_is0, trav_is0)  # [1, LB]
+
+            S0_t = jnp.swapaxes(S0, 0, 1)  # [A, H, LB]
+            r1_o = bel_opp[None] * jnp.where(opp_is_root, S0_t, 1.0)
+            r1_o = r1_o * m0f[:, None, :]
+            S1_t = jnp.swapaxes(S1, 1, 2)  # [A1, A2, H, LB]
+            r2_o = r1_o[:, None] * jnp.where(
+                opp_is_root[None], 1.0, S1_t
+            )
+            r2_o = r2_o * m1f[:, :, None, None]
+
+            trav_int = jnp.asarray(traverser, jnp.int32)
+            lvl1_player = (player + 1) % 2
+            sign1 = jnp.where(lvl1_player == trav_int, 1.0, -1.0)[None, :]
+            val_liar1 = sign1 * win_values_root(r1_o[liar])  # [H, LB]
+
+            sign2 = jnp.where(player == trav_int, 1.0, -1.0)[None, None, :]
+            v2_liar = sign2 * win_values_lvl2(r2_o[:, liar])  # [A1, H, LB]
+
+            # Net queries over the compact pair list.
+            r1_t = bel_trav[None] * jnp.where(~opp_is_root, S0_t, 1.0)
+            r1_t = r1_t * m0f[:, None, :]
+            r2_t = r1_t[:, None] * jnp.where(
+                ~opp_is_root[None], 1.0, S1_t
+            )
+            r2_t = r2_t * m1f[:, :, None, None]
+            r2_0 = jnp.where(trav_is0, r2_t, r2_o)
+            r2_1 = jnp.where(trav_is0, r2_o, r2_t)
+
+            def norm_safe(x):
+                x = x + eps_reach
+                return x / x.sum(0, keepdims=True)
+
+            cols = []
+            for a1, a2 in self.pairs:
+                b0 = norm_safe(r2_0[a1, a2])  # [H, LB]
+                b1 = norm_safe(r2_1[a1, a2])
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0) == a2
+                ).astype(dt)
+                onehot = jnp.broadcast_to(onehot, (A, LB))
+                prow = player.astype(dt)[None, :]
+                trow = jnp.broadcast_to(
+                    jnp.asarray(traverser, dt), (1, LB)
+                )
+                cols.append(
+                    jnp.concatenate([prow, trow, onehot, b0, b1], axis=0)
+                )
+            X = jnp.concatenate(cols, axis=1)  # [Q, P*LB]
+            net_out = mlp(X)  # [H, P*LB]
+
+            val2 = v2_liar[:, None] * (
+                jax.lax.broadcasted_iota(jnp.int32, (1, A, 1, 1), 1) == liar
+            ).astype(dt)
+            # Scatter compact nets back (static unrolled writes).
+            updates = []
+            for idx, (a1, a2) in enumerate(self.pairs):
+                scale = r2_o[a1, a2].sum(0, keepdims=True)  # [1, LB]
+                updates.append(
+                    net_out[:, idx * LB : (idx + 1) * LB] * scale
+                )
+            # Build [A1, A2, H, LB] via one-hot accumulation per pair
+            # (static; Mosaic lowers to vector selects).
+            for idx, (a1, a2) in enumerate(self.pairs):
+                val2 = val2.at[a1, a2].set(updates[idx])
+            val2 = val2 * m1f[:, :, None, None]
+            return val_liar1, val2
+
+        def backup(traverser, S0, S1, val_liar1, val2):
+            trav_int = jnp.asarray(traverser, jnp.int32)
+            lvl1_is_trav = ((player + 1) % 2 == trav_int)[None, None, :]
+            q2 = jnp.swapaxes(val2, 1, 2)  # [A1, H, A2, LB]
+            m1e = m1f[:, None, :, None]
+            v1_strat = (S1 * m1e * q2).sum(2)
+            v1_sum = val2.sum(1)
+            V1 = jnp.where(lvl1_is_trav, v1_strat, v1_sum)
+            liar_rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (A, 1, 1), 0) == liar
+            )
+            V1 = jnp.where(liar_rows, val_liar1[None], V1)
+            inc1 = q2 - V1[:, :, None, :]
+            dR1 = jnp.where(
+                lvl1_is_trav[None]
+                & (m1e > 0)
+                & (m0f[:, None, None, :] > 0),
+                inc1,
+                0.0,
+            )
+            root_is_trav = (player == trav_int)[None, None, :]
+            V1_t = jnp.swapaxes(V1, 0, 1)  # [H, A1, LB]
+            v0_strat = (S0 * m0f[None] * V1_t).sum(1)
+            v0_sum = (V1 * m0f[:, None, :]).sum(0)
+            V0 = jnp.where(root_is_trav[0], v0_strat, v0_sum)
+            inc0 = V1_t - V0[:, None, :]
+            dR0 = jnp.where(root_is_trav & (m0f[None] > 0), inc0, 0.0)
+            return V0, V1, dR0, dR1
+
+        def cfr_iter(it, carry):
+            (regrets0, sum0, last0, regrets1, sum1, last1, rvm,
+             snap0, snap1) = carry
+            traverser = it % 2
+            take = (it == t_stop)[None, :]  # [1, LB]
+            snap0 = jnp.where(take[None], last0, snap0)
+            snap1 = jnp.where(take[None, None], last1, snap1)
+
+            val_liar1, val2 = leaf_values(traverser, last0, last1)
+            V0, _, dR0, dR1 = backup(
+                traverser, last0, last1, val_liar1, val2
+            )
+            regrets0 = regrets0 + dR0
+            regrets1 = regrets1 + dR1
+
+            n = (it // 2).astype(dt)
+            tr_is0 = traverser == 0
+            alpha = (
+                2.0 / (n + 2.0) if p.linear_update else 1.0 / (n + 1.0)
+            )
+            tr_onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (2, 1, 1), 0)
+                == traverser
+            ).astype(dt)
+            rvm = rvm + tr_onehot * (V0[None] - rvm) * alpha
+
+            num_strategies = n + 1.0
+            if p.linear_update:
+                pos_d = neg_d = strat_d = num_strategies / (
+                    num_strategies + 1
+                )
+            elif p.dcfr:
+                na = num_strategies**p.dcfr_alpha
+                pos_d = (
+                    jnp.asarray(1.0, dt)
+                    if p.dcfr_alpha >= 5
+                    else na / (na + 1.0)
+                )
+                nb = num_strategies**p.dcfr_beta
+                neg_d = (
+                    jnp.asarray(0.0, dt)
+                    if p.dcfr_beta <= -5
+                    else nb / (nb + 1.0)
+                )
+                strat_d = (num_strategies / (num_strategies + 1)) ** (
+                    p.dcfr_gamma
+                )
+            else:
+                pos_d = neg_d = strat_d = jnp.asarray(1.0, dt)
+
+            root_is_trav = (player == traverser)[None, None, :]
+            lvl1_is_trav = ~root_is_trav
+            bel_trav = jnp.where(tr_is0, bel_p0, bel_p1)
+
+            f0 = jnp.maximum(regrets0, eps_regret) * m0f[None]
+            d0 = f0.sum(1, keepdims=True)
+            matched0 = f0 / jnp.where(d0 > 0, d0, 1.0)
+            last0 = jnp.where(root_is_trav, matched0, last0)
+            regrets0 = jnp.where(
+                root_is_trav,
+                regrets0 * jnp.where(regrets0 > 0, pos_d, neg_d),
+                regrets0,
+            )
+            sum0 = jnp.where(
+                root_is_trav,
+                sum0 * strat_d + bel_trav[:, None, :] * last0,
+                sum0,
+            )
+
+            m1eff = m1f[:, None, :, None] * m0f[:, None, None, :]
+            f1 = jnp.maximum(regrets1, eps_regret) * m1eff
+            d1 = f1.sum(2, keepdims=True)
+            matched1 = f1 / jnp.where(d1 > 0, d1, 1.0)
+            last1 = jnp.where(lvl1_is_trav[None], matched1, last1)
+            regrets1 = jnp.where(
+                lvl1_is_trav[None],
+                regrets1 * jnp.where(regrets1 > 0, pos_d, neg_d),
+                regrets1,
+            )
+            sum1 = jnp.where(
+                lvl1_is_trav[None],
+                sum1 * strat_d + bel_trav[None, :, None, :] * last1,
+                sum1,
+            )
+            return (regrets0, sum0, last0, regrets1, sum1, last1, rvm,
+                    snap0, snap1)
+
+        def fp_iter(it, carry):
+            (regrets0, sum0, last0, regrets1, sum1, last1, rvm,
+             snap0, snap1) = carry
+            traverser = it % 2
+            m1eff = m1f[:, None, :, None] * m0f[:, None, None, :]
+
+            def navg(n0, n1):
+                nn0 = n0 * m0f[None]
+                nn1 = n1 * m1eff
+                dd0 = nn0.sum(1, keepdims=True)
+                dd1 = nn1.sum(2, keepdims=True)
+                return (
+                    nn0 / jnp.where(dd0 > 0, dd0, 1.0),
+                    nn1 / jnp.where(dd1 > 0, dd1, 1.0),
+                )
+
+            if p.optimistic:
+                avg0, avg1 = navg(sum0 + last0, sum1 + last1)
+            else:
+                avg0, avg1 = navg(sum0, sum1)
+
+            take = (it == t_stop)[None, :]
+            snap0 = jnp.where(take[None], avg0, snap0)
+            snap1 = jnp.where(take[None, None], avg1, snap1)
+
+            val_liar1, val2 = leaf_values(traverser, avg0, avg1)
+            trav_int = jnp.asarray(traverser, jnp.int32)
+            root_is_trav = (player == trav_int)[None, None, :]
+            lvl1_is_trav = ~root_is_trav
+            neg = jnp.asarray(-1e30, dt)
+
+            q2 = jnp.swapaxes(val2, 1, 2)  # [A1, H, A2, LB]
+            m1b = (m1eff > 0)
+            masked2 = jnp.where(m1b, q2, neg)
+            vmax2 = masked2.max(2, keepdims=True)
+            eq2 = (masked2 == vmax2) & m1b
+            first2 = (jnp.cumsum(eq2.astype(dt), axis=2) == 1.0) & eq2
+            br1 = first2.astype(dt)
+            has1 = m1b.any(2)
+            v1_max = jnp.where(has1, vmax2[:, :, 0, :], 0.0)
+            v1_sum = val2.sum(1)
+            V1 = jnp.where(lvl1_is_trav, v1_max, v1_sum)
+            liar_rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (A, 1, 1), 0) == liar
+            )
+            V1 = jnp.where(liar_rows, val_liar1[None], V1)
+
+            V1_t = jnp.swapaxes(V1, 0, 1)
+            m0b = m0f[None] > 0
+            masked0 = jnp.where(m0b, V1_t, neg)
+            vmax0 = masked0.max(1, keepdims=True)
+            eq0 = (masked0 == vmax0) & m0b
+            first0 = (jnp.cumsum(eq0.astype(dt), axis=1) == 1.0) & eq0
+            br0 = first0.astype(dt)
+            v0_sum = (V1 * m0f[:, None, :]).sum(0)
+            V0 = jnp.where(root_is_trav[0], vmax0[:, 0, :], v0_sum)
+
+            num_update = (it // 2 + 1).astype(dt)
+            alpha = (
+                2.0 / (num_update + 1.0)
+                if p.linear_update
+                else 1.0 / num_update
+            )
+            tr_onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (2, 1, 1), 0)
+                == traverser
+            ).astype(dt)
+            rvm = rvm + tr_onehot * (V0[None] - rvm) * alpha
+
+            decay = (
+                (num_update + 1.0) / (num_update + 2.0)
+                if p.linear_update
+                else jnp.asarray(1.0, dt)
+            )
+            bel_trav = jnp.where(traverser == 0, bel_p0, bel_p1)
+            w0 = bel_trav[:, None, :] * br0
+            sum0 = jnp.where(root_is_trav, (sum0 + w0) * decay, sum0)
+            last0 = jnp.where(root_is_trav, w0, last0)
+            w1 = bel_trav[None, :, None, :] * br1
+            sum1 = jnp.where(
+                lvl1_is_trav[None], (sum1 + w1) * decay, sum1
+            )
+            last1 = jnp.where(lvl1_is_trav[None], w1, last1)
+            return (regrets0, sum0, last0, regrets1, sum1, last1, rvm,
+                    snap0, snap1)
+
+        init = (
+            jnp.zeros((H, A, LB), dt),
+            u0 * bel_root[:, None, :],
+            u0,
+            jnp.zeros((A, H, A, LB), dt),
+            u1 * bel_lvl1[None, :, None, :],
+            u1,
+            jnp.zeros((2, H, LB), dt),
+            u0,  # snap0 at t=0 is the uniform sampling strategy
+            u1,
+        )
+        body = cfr_iter if p.use_cfr else fp_iter
+        out = jax.lax.fori_loop(0, p.num_iters, body, init)
+        (regrets0, sum0, last0, regrets1, sum1, last1, rvm, snap0,
+         snap1) = out
+        # Final snapshot when t == num_iters.
+        if p.use_cfr:
+            fin0, fin1 = last0, last1
+        else:
+            m1eff = m1f[:, None, :, None] * m0f[:, None, None, :]
+            n0 = (sum0 + (last0 if p.optimistic else 0.0)) * m0f[None]
+            n1 = (sum1 + (last1 if p.optimistic else 0.0)) * m1eff
+            d0 = n0.sum(1, keepdims=True)
+            d1 = n1.sum(2, keepdims=True)
+            fin0 = n0 / jnp.where(d0 > 0, d0, 1.0)
+            fin1 = n1 / jnp.where(d1 > 0, d1, 1.0)
+        take = (t_stop == p.num_iters)[None, :]
+        snap0 = jnp.where(take[None], fin0, snap0)
+        snap1 = jnp.where(take[None, None], fin1, snap1)
+
+        rvm_ref[...] = rvm
+        snap0_ref[...] = snap0
+        snap1_ref[...] = snap1
+
+    # ---------------------------------------------------------------- API
+    def solve(self, bids, players, beliefs, t_stop, net_params=None):
+        """bids/players/t_stop [B] i32, beliefs [B, 2, H] -> outputs with
+        leading batch dim."""
+        game = self.game
+        A, H = game.num_actions, game.num_hands
+        LB = self.lane_block
+        B = bids.shape[0]
+        assert B % LB == 0, (B, LB)
+        grid = B // LB
+
+        # Flatten net params into a fixed-order leaf list.
+        leaves = []
+        if net_params is not None:
+            pp = net_params["params"]
+            k = 0
+            while f"Dense_{k}" in pp:
+                d = pp[f"Dense_{k}"]
+                is_head = f"Dense_{k + 1}" not in pp
+                leaves.append(d["kernel"])
+                leaves.append(d["bias"])
+                if not is_head and f"LayerNorm_{k}" in pp:
+                    ln = pp[f"LayerNorm_{k}"]
+                    leaves.append(ln["scale"])
+                    leaves.append(ln["bias"])
+                k += 1
+        n_net = len(leaves)
+
+        bel_bl = jnp.moveaxis(
+            jnp.asarray(beliefs, jnp.float32), 0, -1
+        )  # [2, H, B]
+
+        def kernel(*refs):
+            net_refs = refs[:n_net]
+            (m1_ref, matches_ref, payoff_ref, bel_ref, bid_ref,
+             player_ref, t_ref, rvm_ref, snap0_ref, snap1_ref) = refs[n_net:]
+            self._kernel(
+                list(net_refs), m1_ref, matches_ref, payoff_ref,
+                bel_ref, bid_ref, player_ref, t_ref,
+                rvm_ref, snap0_ref, snap1_ref,
+            )
+
+        lane_spec = lambda *shape: pl.BlockSpec(
+            shape + (LB,),
+            lambda i: tuple([0] * len(shape)) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+        full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+        rvm, snap0, snap1 = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[full_spec] * (n_net + 3)
+            + [
+                lane_spec(2, H),
+                lane_spec(1),
+                lane_spec(1),
+                lane_spec(1),
+            ],
+            out_specs=(
+                lane_spec(2, H),
+                lane_spec(H, A),
+                lane_spec(A, H, A),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, H, B), jnp.float32),
+                jax.ShapeDtypeStruct((H, A, B), jnp.float32),
+                jax.ShapeDtypeStruct((A, H, A, B), jnp.float32),
+            ),
+            interpret=self.interpret,
+        )(
+            *leaves,
+            jnp.asarray(self.m1_np, jnp.float32),
+            jnp.asarray(game.matches_table, jnp.float32),
+            jnp.concatenate(
+                [
+                    jnp.asarray(game.terminal_payoff, jnp.float32),
+                    jnp.zeros((1, H, H), jnp.float32),
+                ],
+                axis=0,
+            ),
+            bel_bl,
+            jnp.asarray(bids, jnp.int32)[None, :],
+            jnp.asarray(players, jnp.int32)[None, :],
+            jnp.asarray(t_stop, jnp.int32)[None, :],
+        )
+        return Grid2PallasOutputs(
+            rvm=jnp.moveaxis(rvm, -1, 0),
+            snap0=jnp.moveaxis(snap0, -1, 0),
+            snap1=jnp.moveaxis(snap1, -1, 0),
+        )
