@@ -121,7 +121,10 @@ class Grid2PallasSolver:
                 == jax.lax.broadcasted_iota(jnp.int32, (1, D + 1, 1), 1)
             ).astype(dt)  # [H, D+1, LB]
             buckets = (opp_mass[:, None, :] * onehot).sum(0)  # [D+1, LB]
-            cum = jnp.cumsum(buckets[::-1, :], axis=0)[::-1, :]
+            # Static suffix sums (Mosaic has no `rev`; D is tiny).
+            cum = jnp.stack(
+                [buckets[j:].sum(0) for j in range(D + 1)], axis=0
+            )
             left = jnp.clip(quant[None, :] - own, 0, D)  # [H, LB]
             sel = (
                 left[:, None, :]
