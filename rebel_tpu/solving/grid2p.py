@@ -142,6 +142,24 @@ class Grid2PallasSolver:
                 preferred_element_type=dt,
             )
 
+        def gelu_erf(x):
+            """Exact-erf GELU via the Abramowitz-Stegun 7.1.26 polynomial
+            (|err| < 1.5e-7); Mosaic has no native erf/erfc."""
+            z = x * jnp.asarray(0.7071067811865476, x.dtype)
+            az = jnp.abs(z)
+            t = 1.0 / (1.0 + 0.3275911 * az)
+            poly = t * (
+                0.254829592
+                + t
+                * (
+                    -0.284496736
+                    + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+                )
+            )
+            erf_abs = 1.0 - poly * jnp.exp(-az * az)
+            erf = jnp.sign(z) * erf_abs
+            return x * 0.5 * (1.0 + erf)
+
         def mlp(x):
             """x [Q, N] -> [H, N] via the CFVNet params (transposed)."""
             if not net_param_list:
@@ -165,7 +183,7 @@ class Grid2PallasSolver:
                 x = x * scale[...].astype(cdt)[:, None] + bias[...].astype(
                     cdt
                 )[:, None]
-                x = jax.nn.gelu(x, approximate=False)
+                x = gelu_erf(x)
             W, b = net_param_list[i : i + 2]
             x = (
                 jnp.dot(W[...].astype(cdt).T, x, preferred_element_type=cdt)
