@@ -248,20 +248,27 @@ class Grid2PallasSolver:
             X = jnp.concatenate(cols, axis=1)  # [Q, P*LB]
             net_out = mlp(X)  # [H, P*LB]
 
-            val2 = v2_liar[:, None] * (
-                jax.lax.broadcasted_iota(jnp.int32, (1, A, 1, 1), 1) == liar
-            ).astype(dt)
-            # Scatter compact nets back (static unrolled writes).
-            updates = []
+            updates = {}
             for idx, (a1, a2) in enumerate(self.pairs):
                 scale = r2_o[a1, a2].sum(0, keepdims=True)  # [1, LB]
-                updates.append(
+                updates[(a1, a2)] = (
                     net_out[:, idx * LB : (idx + 1) * LB] * scale
                 )
-            # Build [A1, A2, H, LB] via one-hot accumulation per pair
-            # (static; Mosaic lowers to vector selects).
-            for idx, (a1, a2) in enumerate(self.pairs):
-                val2 = val2.at[a1, a2].set(updates[idx])
+            # Assemble [A1, A2, H, LB] by static stacking (no scatter:
+            # Mosaic has no scatter lowering).
+            zeros_hlb = jnp.zeros((H, LB), dt)
+            rows = []
+            for a1 in range(A):
+                cells = []
+                for a2 in range(A):
+                    if (a1, a2) in updates:
+                        cells.append(updates[(a1, a2)])
+                    elif a2 == liar and self.m1_np[a1, a2]:
+                        cells.append(v2_liar[a1])
+                    else:
+                        cells.append(zeros_hlb)
+                rows.append(jnp.stack(cells, axis=0))  # [A2, H, LB]
+            val2 = jnp.stack(rows, axis=0)  # [A1, A2, H, LB]
             val2 = val2 * m1f[:, :, None, None]
             return val_liar1, val2
 
