@@ -165,6 +165,8 @@ class Grid2PallasSolver:
             if not net_param_list:
                 return jnp.zeros((H, x.shape[1]), dt)
             cdt = self.net_compute_dtype
+            # Matmul inputs in cdt (bf16 on the fast path); accumulators
+            # must be f32 on the MXU.
             x = x.astype(cdt)
             i = 0
             n_layers = (len(net_param_list) - 2) // 4
@@ -173,21 +175,25 @@ class Grid2PallasSolver:
                 i += 4
                 x = (
                     jnp.dot(
-                        W[...].astype(cdt).T, x, preferred_element_type=cdt
+                        W[...].astype(cdt).T, x,
+                        preferred_element_type=jnp.float32,
                     )
-                    + b[...].astype(cdt)[:, None]
+                    + b[...].astype(jnp.float32)[:, None]
                 )
                 mu = x.mean(axis=0, keepdims=True)
                 var = ((x - mu) ** 2).mean(axis=0, keepdims=True)
                 x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-                x = x * scale[...].astype(cdt)[:, None] + bias[...].astype(
-                    cdt
-                )[:, None]
-                x = gelu_erf(x)
+                x = x * scale[...].astype(jnp.float32)[:, None] + bias[
+                    ...
+                ].astype(jnp.float32)[:, None]
+                x = gelu_erf(x).astype(cdt)
             W, b = net_param_list[i : i + 2]
             x = (
-                jnp.dot(W[...].astype(cdt).T, x, preferred_element_type=cdt)
-                + b[...].astype(cdt)[:, None]
+                jnp.dot(
+                    W[...].astype(cdt).T, x,
+                    preferred_element_type=jnp.float32,
+                )
+                + b[...].astype(jnp.float32)[:, None]
             )
             return x.astype(dt)
 
