@@ -76,8 +76,25 @@ class Grid2PallasSolver:
         dt = jnp.float32
         eps_regret = regret_eps(dt)
         eps_reach = reach_eps(dt)
-        m1f = m1_ref[...]  # [A1, A2] f32
+        m1f = m1_ref[...]  # [A1, A2] f32 (2D uses only)
         matches_f = matches_ref[...]  # [H, F] f32
+
+        def iota(shape, dim):
+            return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+        def m1_mask(shape, a1_dim, a2_dim):
+            """Level-1 legality mask built at the consumer's shape via
+            iota (Mosaic cannot shape-cast trailing-dim inserts)."""
+            a1 = iota(shape, a1_dim)
+            a2 = iota(shape, a2_dim)
+            return (a2 > a1) & (a1 != liar)
+
+        def m0_mask(shape, a_dim):
+            """Root legality at the consumer's shape; lane dim last."""
+            a = iota(shape, a_dim)
+            bshape = [1] * (len(shape) - 1) + [shape[-1]]
+            b = bid.reshape(bshape)
+            return (a > b) & ((b != INITIAL_ACTION) | (a != liar))
 
         bid = bid_ref[0, :]  # [LB] i32
         player = player_ref[0, :]
@@ -99,8 +116,11 @@ class Grid2PallasSolver:
             (m0f / jnp.maximum(m0f.sum(0, keepdims=True), 1.0))[None],
             (H, A, LB),
         )
-        u1row = m1f / jnp.maximum(m1f.sum(1, keepdims=True), 1.0)
-        u1 = jnp.broadcast_to(u1row[:, None, :, None], (A, H, A, LB))
+        u1m = m1_mask((A, H, A, LB), 0, 2).astype(dt)
+        u1cnt = jnp.maximum(
+            (A - 1 - iota((A, H, A, LB), 0)).astype(dt), 1.0
+        )
+        u1 = u1m / u1cnt
 
         def win_values_root(opp_mass):
             """Terminal payoff vs dynamic root bid: [H, LB]."""
@@ -212,7 +232,7 @@ class Grid2PallasSolver:
             r2_o = r1_o[:, None] * jnp.where(
                 opp_is_root[None], 1.0, S1_t
             )
-            r2_o = r2_o * m1f[:, :, None, None]
+            r2_o = r2_o * m1_mask((A, A, H, LB), 0, 1).astype(dt)
 
             trav_int = jnp.asarray(traverser, jnp.int32)
             lvl1_player = (player + 1) % 2
@@ -228,7 +248,7 @@ class Grid2PallasSolver:
             r2_t = r1_t[:, None] * jnp.where(
                 ~opp_is_root[None], 1.0, S1_t
             )
-            r2_t = r2_t * m1f[:, :, None, None]
+            r2_t = r2_t * m1_mask((A, A, H, LB), 0, 1).astype(dt)
             r2_0 = jnp.where(trav_is0, r2_t, r2_o)
             r2_1 = jnp.where(trav_is0, r2_o, r2_t)
 
@@ -275,14 +295,14 @@ class Grid2PallasSolver:
                         cells.append(zeros_hlb)
                 rows.append(jnp.stack(cells, axis=0))  # [A2, H, LB]
             val2 = jnp.stack(rows, axis=0)  # [A1, A2, H, LB]
-            val2 = val2 * m1f[:, :, None, None]
+            val2 = val2 * m1_mask((A, A, H, LB), 0, 1).astype(dt)
             return val_liar1, val2
 
         def backup(traverser, S0, S1, val_liar1, val2):
             trav_int = jnp.asarray(traverser, jnp.int32)
             lvl1_is_trav = ((player + 1) % 2 == trav_int)[None, None, :]
             q2 = jnp.swapaxes(val2, 1, 2)  # [A1, H, A2, LB]
-            m1e = m1f[:, None, :, None]
+            m1e = m1_mask((A, H, A, LB), 0, 2).astype(dt)
             v1_strat = (S1 * m1e * q2).sum(2)
             v1_sum = val2.sum(1)
             V1 = jnp.where(lvl1_is_trav, v1_strat, v1_sum)
@@ -294,7 +314,7 @@ class Grid2PallasSolver:
             dR1 = jnp.where(
                 lvl1_is_trav[None]
                 & (m1e > 0)
-                & (m0f[:, None, None, :] > 0),
+                & m0_mask((A, H, A, LB), 0),
                 inc1,
                 0.0,
             )
@@ -376,7 +396,9 @@ class Grid2PallasSolver:
                 sum0,
             )
 
-            m1eff = m1f[:, None, :, None] * m0f[:, None, None, :]
+            m1eff = (
+                m1_mask((A, H, A, LB), 0, 2) & m0_mask((A, H, A, LB), 0)
+            ).astype(dt)
             f1 = jnp.maximum(regrets1, eps_regret) * m1eff
             d1 = f1.sum(2, keepdims=True)
             matched1 = f1 / jnp.where(d1 > 0, d1, 1.0)
@@ -398,7 +420,9 @@ class Grid2PallasSolver:
             (regrets0, sum0, last0, regrets1, sum1, last1, rvm,
              snap0, snap1) = carry
             traverser = it % 2
-            m1eff = m1f[:, None, :, None] * m0f[:, None, None, :]
+            m1eff = (
+                m1_mask((A, H, A, LB), 0, 2) & m0_mask((A, H, A, LB), 0)
+            ).astype(dt)
 
             def navg(n0, n1):
                 nn0 = n0 * m0f[None]
@@ -499,7 +523,9 @@ class Grid2PallasSolver:
         if p.use_cfr:
             fin0, fin1 = last0, last1
         else:
-            m1eff = m1f[:, None, :, None] * m0f[:, None, None, :]
+            m1eff = (
+                m1_mask((A, H, A, LB), 0, 2) & m0_mask((A, H, A, LB), 0)
+            ).astype(dt)
             n0 = (sum0 + (last0 if p.optimistic else 0.0)) * m0f[None]
             n1 = (sum1 + (last1 if p.optimistic else 0.0)) * m1eff
             d0 = n0.sum(1, keepdims=True)
