@@ -15,11 +15,13 @@ Architecture (vs the reference's C++/libtorch design):
 """
 
 from rebel_tpu.games.liars_dice import INITIAL_ACTION, LiarsDice
+from rebel_tpu.solving.params import SubgameSolvingParams
 from rebel_tpu.tree import TreeSpec, build_supertree, root_action_mask, unroll_tree
 
 __all__ = [
     "INITIAL_ACTION",
     "LiarsDice",
+    "SubgameSolvingParams",
     "TreeSpec",
     "build_supertree",
     "root_action_mask",

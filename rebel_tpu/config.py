@@ -147,6 +147,8 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         out["selfplay_batch"] = selfplay.get(
             "batch", selfplay.get("cpu_gen_threads", 60) * 16
         )
+        if "engine" in selfplay:
+            out["engine"] = selfplay["engine"]
     direct = {
         "seed",
         "decrease_lr_every",

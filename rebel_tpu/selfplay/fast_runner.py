@@ -165,17 +165,37 @@ class FastSelfPlayEngine:
 
 
 def make_engine(
-    cfg: RecursiveSolvingParams, dtype=jnp.float32, fast: bool | None = None
+    cfg: RecursiveSolvingParams,
+    dtype=jnp.float32,
+    kind: str = "auto",
+    net_compute_dtype=jnp.float32,
 ):
-    """Engine factory: the grid fast path when depth == 2 (default),
-    the generic supertree engine otherwise."""
+    """Engine factory.
+
+    kind: 'auto' (grid fast path when depth == 2, generic otherwise),
+    'generic', 'fast' (vmapped grid2), 'batched' (batch-last grid2b),
+    'pallas' (fused TPU kernel).
+    """
     from rebel_tpu.selfplay.runner import SelfPlayEngine
 
-    if fast is None:
-        fast = cfg.subgame_params.max_depth == 2
-    if fast and cfg.subgame_params.max_depth == 2:
+    depth2 = cfg.subgame_params.max_depth == 2
+    if kind == "auto":
+        kind = "fast" if depth2 else "generic"
+    if kind != "generic" and not depth2:
+        raise ValueError(f"engine kind {kind!r} requires max_depth == 2")
+    if kind == "generic":
+        return SelfPlayEngine(cfg=cfg, dtype=dtype)
+    if kind == "fast":
         return FastSelfPlayEngine(cfg=cfg, dtype=dtype)
-    return SelfPlayEngine(cfg=cfg, dtype=dtype)
+    if kind == "batched":
+        return FastBatchedEngine(
+            cfg=cfg, dtype=dtype, net_compute_dtype=net_compute_dtype
+        )
+    if kind == "pallas":
+        return FastPallasEngine(
+            cfg=cfg, dtype=dtype, net_compute_dtype=net_compute_dtype
+        )
+    raise ValueError(f"unknown engine kind {kind!r}")
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

@@ -74,7 +74,8 @@ class TrainerConfig:
     use_priority: bool = False
     train_gen_ratio: int = 4
     max_epochs: int = 10000
-    # Self-play engine.
+    # Self-play engine: 'auto' | 'generic' | 'fast' | 'batched' | 'pallas'.
+    engine: str = "auto"
     selfplay_batch: int = 1024  # lockstep lanes (replaces thread count)
     gen_chunk_steps: int = 1  # engine steps per jit'd gen call
     seed: int = 0
@@ -138,7 +139,7 @@ class Trainer:
         self.cfg = cfg
         self.game: LiarsDice = cfg.env.game
         self.out_dir = pathlib.Path(out_dir)
-        self.engine = make_engine(cfg.env, dtype=cfg.solver_dtype)
+        self.engine = make_engine(cfg.env, dtype=cfg.solver_dtype, kind=cfg.engine)
         self.net_spec = CFVNetSpec(
             game=self.game,
             n_hidden=cfg.n_hidden,
