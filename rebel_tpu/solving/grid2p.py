@@ -199,14 +199,17 @@ class Grid2PallasSolver:
                         preferred_element_type=jnp.float32,
                     )
                     + b[...].astype(jnp.float32)[:, None]
-                )
+                ).astype(cdt)
+                # LN + GELU in the compute dtype: halves VMEM/VPU cost on
+                # the bf16 fast path (stats still fine at bf16 for a
+                # 256-wide layer).
                 mu = x.mean(axis=0, keepdims=True)
                 var = ((x - mu) ** 2).mean(axis=0, keepdims=True)
-                x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-                x = x * scale[...].astype(jnp.float32)[:, None] + bias[
+                x = (x - mu) * jax.lax.rsqrt(var + jnp.asarray(1e-6, cdt))
+                x = x * scale[...].astype(cdt)[:, None] + bias[
                     ...
-                ].astype(jnp.float32)[:, None]
-                x = gelu_erf(x).astype(cdt)
+                ].astype(cdt)[:, None]
+                x = gelu_erf(x)
             W, b = net_param_list[i : i + 2]
             x = (
                 jnp.dot(
