@@ -199,17 +199,14 @@ class Grid2PallasSolver:
                         preferred_element_type=jnp.float32,
                     )
                     + b[...].astype(jnp.float32)[:, None]
-                ).astype(cdt)
-                # LN + GELU in the compute dtype: halves VMEM/VPU cost on
-                # the bf16 fast path (stats still fine at bf16 for a
-                # 256-wide layer).
+                )
                 mu = x.mean(axis=0, keepdims=True)
                 var = ((x - mu) ** 2).mean(axis=0, keepdims=True)
-                x = (x - mu) * jax.lax.rsqrt(var + jnp.asarray(1e-6, cdt))
-                x = x * scale[...].astype(cdt)[:, None] + bias[
+                x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+                x = x * scale[...].astype(jnp.float32)[:, None] + bias[
                     ...
-                ].astype(cdt)[:, None]
-                x = gelu_erf(x)
+                ].astype(jnp.float32)[:, None]
+                x = gelu_erf(x).astype(cdt)
             W, b = net_param_list[i : i + 2]
             x = (
                 jnp.dot(
@@ -457,8 +454,15 @@ class Grid2PallasSolver:
             masked2 = jnp.where(m1b, q2, neg)
             vmax2 = masked2.max(2, keepdims=True)
             eq2 = (masked2 == vmax2) & m1b
-            first2 = (jnp.cumsum(eq2.astype(dt), axis=2) == 1.0) & eq2
-            br1 = first2.astype(dt)
+            # First-occurrence one-hot via a static unrolled scan over the
+            # (tiny) action axis — Mosaic has no cumsum lowering.
+            taken = jnp.zeros_like(eq2[:, :, 0, :])
+            firsts = []
+            for a in range(A):
+                cur = eq2[:, :, a, :] & ~taken
+                firsts.append(cur)
+                taken = taken | cur
+            br1 = jnp.stack(firsts, axis=2).astype(dt)
             has1 = m1b.any(2)
             v1_max = jnp.where(has1, vmax2[:, :, 0, :], 0.0)
             v1_sum = val2.sum(1)
@@ -473,8 +477,13 @@ class Grid2PallasSolver:
             masked0 = jnp.where(m0b, V1_t, neg)
             vmax0 = masked0.max(1, keepdims=True)
             eq0 = (masked0 == vmax0) & m0b
-            first0 = (jnp.cumsum(eq0.astype(dt), axis=1) == 1.0) & eq0
-            br0 = first0.astype(dt)
+            taken0 = jnp.zeros_like(eq0[:, 0, :])
+            firsts0 = []
+            for a in range(A):
+                cur = eq0[:, a, :] & ~taken0
+                firsts0.append(cur)
+                taken0 = taken0 | cur
+            br0 = jnp.stack(firsts0, axis=1).astype(dt)
             v0_sum = (V1 * m0f[:, None, :]).sum(0)
             V0 = jnp.where(root_is_trav[0], vmax0[:, 0, :], v0_sum)
 
