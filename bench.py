@@ -121,7 +121,7 @@ def main():
         help="write a jax.profiler trace to this directory",
     )
     ap.add_argument(
-        "--layout", default="batch_first",
+        "--layout", default="pallas",
         choices=("batch_last", "batch_first", "pallas"),
     )
     args = ap.parse_args()
@@ -143,7 +143,19 @@ def main():
                 f"cycle {cycle}: items {total_items} "
                 f"per_second {total_items / elapsed:.2f}"
             )
-    res = measure(args.batch, args.num_iters, args.steps, layout=args.layout)
+    try:
+        res = measure(
+            args.batch, args.num_iters, args.steps, layout=args.layout
+        )
+    except Exception as e:  # pallas/Mosaic toolchain hiccup: fall back
+        if args.layout == "batch_first":
+            raise
+        print(f"# layout {args.layout} failed ({type(e).__name__}); "
+              "falling back to batch_first", flush=True)
+        args.layout = "batch_first"
+        res = measure(
+            args.batch, args.num_iters, args.steps, layout=args.layout
+        )
     if args.profile:
         jax.profiler.stop_trace()
 

@@ -326,7 +326,12 @@ class FastPallasEngine:
     """Self-play engine whose whole subgame solve (state + terminal
     operator + CFV MLP, all ``num_iters`` iterations) runs inside one
     Pallas TPU kernel per block of lanes
-    (:class:`rebel_tpu.solving.grid2p.Grid2PallasSolver`)."""
+    (:class:`rebel_tpu.solving.grid2p.Grid2PallasSolver`).
+
+    Note: the CFR kernel is the production-benchmarked path; the FP
+    kernel is exact (tests/test_grid2_pallas.py) but its Mosaic compile
+    is slow on remote-compile toolchains — prefer engine kind 'fast'
+    for FP configs."""
 
     cfg: RecursiveSolvingParams
     dtype: jnp.dtype = jnp.float32
