@@ -453,16 +453,17 @@ class Grid2PallasSolver:
             m1b = (m1eff > 0)
             masked2 = jnp.where(m1b, q2, neg)
             vmax2 = masked2.max(2, keepdims=True)
-            eq2 = (masked2 == vmax2) & m1b
             # First-occurrence one-hot via a static unrolled scan over the
-            # (tiny) action axis — Mosaic has no cumsum lowering.
-            taken = jnp.zeros_like(eq2[:, :, 0, :])
+            # (tiny) action axis in f32 arithmetic — Mosaic has no cumsum
+            # lowering and dislikes stacked bool vectors.
+            eqf = jnp.where((masked2 == vmax2) & m1b, 1.0, 0.0)
+            taken = jnp.zeros_like(eqf[:, :, 0, :])
             firsts = []
             for a in range(A):
-                cur = eq2[:, :, a, :] & ~taken
+                cur = eqf[:, :, a, :] * (1.0 - taken)
                 firsts.append(cur)
-                taken = taken | cur
-            br1 = jnp.stack(firsts, axis=2).astype(dt)
+                taken = taken + cur
+            br1 = jnp.stack(firsts, axis=2)
             has1 = m1b.any(2)
             v1_max = jnp.where(has1, vmax2[:, :, 0, :], 0.0)
             v1_sum = val2.sum(1)
@@ -476,14 +477,14 @@ class Grid2PallasSolver:
             m0b = m0f[None] > 0
             masked0 = jnp.where(m0b, V1_t, neg)
             vmax0 = masked0.max(1, keepdims=True)
-            eq0 = (masked0 == vmax0) & m0b
-            taken0 = jnp.zeros_like(eq0[:, 0, :])
+            eqf0 = jnp.where((masked0 == vmax0) & m0b, 1.0, 0.0)
+            taken0 = jnp.zeros_like(eqf0[:, 0, :])
             firsts0 = []
             for a in range(A):
-                cur = eq0[:, a, :] & ~taken0
+                cur = eqf0[:, a, :] * (1.0 - taken0)
                 firsts0.append(cur)
-                taken0 = taken0 | cur
-            br0 = jnp.stack(firsts0, axis=1).astype(dt)
+                taken0 = taken0 + cur
+            br0 = jnp.stack(firsts0, axis=1)
             v0_sum = (V1 * m0f[:, None, :]).sum(0)
             V0 = jnp.where(root_is_trav[0], vmax0[:, 0, :], v0_sum)
 
