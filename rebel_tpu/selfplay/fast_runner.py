@@ -335,6 +335,7 @@ class FastPallasEngine:
     dtype: jnp.dtype = jnp.float32
     lane_block: int = 128
     net_compute_dtype: jnp.dtype = jnp.float32
+    mlp_chunks: int = 1
     interpret: bool = False
 
     wants_params = True
@@ -354,6 +355,7 @@ class FastPallasEngine:
             params=sub,
             lane_block=min(self.lane_block, B),
             net_compute_dtype=self.net_compute_dtype,
+            mlp_chunks=self.mlp_chunks,
             interpret=self.interpret,
         )
         k_solve = jax.vmap(lambda k: jax.random.split(k, 4)[0])(keys)

@@ -50,6 +50,9 @@ class Grid2PallasSolver:
     params: SubgameSolvingParams
     lane_block: int = 128
     net_compute_dtype: Any = jnp.float32
+    # Split the per-iteration MLP batch into column chunks to cap live
+    # activation VMEM ([256, P*LB/chunks] at a time); results identical.
+    mlp_chunks: int = 1
     interpret: bool = False
 
     def __post_init__(self):
@@ -271,8 +274,13 @@ class Grid2PallasSolver:
                 cols.append(
                     jnp.concatenate([prow, trow, onehot, b0, b1], axis=0)
                 )
-            X = jnp.concatenate(cols, axis=1)  # [Q, P*LB]
-            net_out = mlp(X)  # [H, P*LB]
+            nch = max(1, self.mlp_chunks)
+            per = (len(cols) + nch - 1) // nch
+            outs = []
+            for c0 in range(0, len(cols), per):
+                Xc = jnp.concatenate(cols[c0 : c0 + per], axis=1)
+                outs.append(mlp(Xc))
+            net_out = jnp.concatenate(outs, axis=1)  # [H, P*LB]
 
             updates = {}
             for idx, (a1, a2) in enumerate(self.pairs):
