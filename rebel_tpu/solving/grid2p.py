@@ -22,7 +22,7 @@ Math is identical to grid2/grid2b (see tests/test_grid2_pallas.py).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, NamedTuple
 
 import jax

@@ -88,3 +88,29 @@ def test_eval_net_oracle_near_zero():
         value_fn=zero_value_fn(game), traverse_by_net=False, dtype=DT,
     )
     assert mse_zero > 1e-4
+
+
+def test_print_strategy(tmp_path):
+    """print_strategy output format (subgame_solving.cc:732-763)."""
+    import io
+
+    from rebel_tpu import unroll_tree
+    from rebel_tpu.solving.printing import (
+        print_strategy,
+        print_strategy_to_file,
+    )
+
+    game = LiarsDice(num_dice=1, num_faces=2)
+    tree = unroll_tree(game, max_depth=2)
+    strat = np.full(
+        (tree.num_nodes, game.num_hands, game.num_actions),
+        1.0 / game.num_actions,
+    )
+    buf = io.StringIO()
+    print_strategy(game, tree, strat, buf)
+    out = buf.getvalue()
+    assert out.startswith("Printing strategies per node")
+    assert "Node=0" in out and "hand=0" in out
+    path = tmp_path / "s.txt"
+    print_strategy_to_file(game, tree, strat, str(path))
+    assert path.read_text() == out
