@@ -46,16 +46,23 @@ def full_solve(
     params: SubgameSolvingParams,
     dtype=jnp.float64,
     progress: bool = True,
+    collect_iterates: bool = False,
 ):
-    """Phase 1: full-tree solve with power-of-2 exploitability printouts.
-    Returns (strategy [N,H,A], trajectory list)."""
+    """Phase 1: full-tree solve with power-of-2 exploitability printouts
+    (recursive_eval.cc:276-309).  With ``collect_iterates`` (CFR), the
+    even-iteration sampling strategies are returned for the
+    immediate-regret report (recursive_eval.cc:283-287).
+    Returns (strategy [N,H,A], trajectory list, iterates list)."""
     ctx = full_tree_context(game, dtype)
     solver = build_solver(ctx, params.replace(max_depth=10**6))
     root = RootCtx.concrete(ctx.tree)
     state = solver.init(root, uniform_beliefs(game, dtype))
     step = jax.jit(solver.step)
     trajectory = []
+    iterates = []
     for it in range(params.num_iters):
+        if collect_iterates and params.use_cfr and it % 2 == 0:
+            iterates.append(np.asarray(solver.sampling_strategy(state)))
         state = step(state, it % 2, root)
         if ((it + 1) & it) == 0 or it + 1 == params.num_iters:
             e0, e1 = compute_exploitability2(
@@ -69,7 +76,11 @@ def full_solve(
                     "Iter=%8d exploitabilities=(%.3e, %.3e) sum=%.3e",
                     it + 1, e0, e1, (e0 + e1) / 2,
                 )
-    return np.asarray(solver.average_strategy(state, root)), trajectory
+    return (
+        np.asarray(solver.average_strategy(state, root)),
+        trajectory,
+        iterates,
+    )
 
 
 def acting_player_reach(
@@ -151,11 +162,30 @@ def run_eval(
 ) -> dict:
     """Full recursive_eval flow; returns the XXX/YYY-equivalent dict."""
     params = base_params.replace(num_iters=subgame_iters)
-    full_strategy, trajectory = full_solve(game, params, dtype)
+    full_strategy, trajectory, iterates = full_solve(
+        game, params, dtype, collect_iterates=params.use_cfr
+    )
     ctx = full_tree_context(game, dtype)
     e0, e1 = compute_exploitability2(ctx, full_strategy)
 
     results = {"full_tree": (e0 + e1) / 2}
+    regret_summary = None
+    if iterates:
+        from rebel_tpu.solving.exploitability import (
+            compute_immediate_regrets,
+        )
+
+        regs = np.asarray(
+            compute_immediate_regrets(ctx, np.stack(iterates))
+        )
+        regret_summary = {
+            "max": float(regs.max()),
+            "mean": float(regs.mean()),
+        }
+        log.info(
+            "immediate regrets: max %.3e mean %.3e",
+            regret_summary["max"], regret_summary["mean"],
+        )
     results_ev = {}
     reports = []
     if num_repeats > 0:
@@ -177,6 +207,7 @@ def run_eval(
         "ev": results_ev,
         "full_trajectory": trajectory,
         "sampled_reports": reports,
+        "immediate_regrets": regret_summary,
     }
 
 
