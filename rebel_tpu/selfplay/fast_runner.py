@@ -362,7 +362,6 @@ class FastPallasEngine:
         t = jax.vmap(
             lambda k: jax.random.randint(k, (), 0, sub.num_iters + 1)
         )(k_solve)
-        beliefs = jnp.moveaxis(eps.beliefs, 0, 1)  # [B,2,H] already
         out = solver.solve(
             eps.root_bid, eps.root_player, eps.beliefs, t, net_params
         )
