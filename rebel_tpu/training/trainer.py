@@ -81,6 +81,9 @@ class TrainerConfig:
     seed: int = 0
     # Eval/checkpoint cadence (selfplay.py:523-555).
     checkpoint_every: int = 10
+    # Full-state checkpoints retained (params-only exports are kept
+    # forever; full-state ones embed the replay buffer and are large).
+    keep_checkpoints: int = 3
     exploit_every: int = 20
     exploit: bool = True
     eval_num_repeats: int = 0  # sampled-eval repeats (0 = single)
@@ -466,6 +469,14 @@ class Trainer:
         # (the reference's TorchScript export role, selfplay.py:551-552).
         with open(ckpt_dir / f"epoch{epoch}.params", "wb") as f:
             pickle.dump(jax.tree.map(np.asarray, state.params), f)
+        # Retention: prune old full-state checkpoints.
+        if self.cfg.keep_checkpoints:
+            ckpts = sorted(
+                ckpt_dir.glob("epoch*.ckpt"),
+                key=lambda p: int(p.stem[5:]),
+            )
+            for old in ckpts[: -self.cfg.keep_checkpoints]:
+                old.unlink()
 
     def load_checkpoint(self, path: str) -> TrainState:
         with open(path, "rb") as f:
