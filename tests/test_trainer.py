@@ -111,3 +111,44 @@ def test_spmd_programs_run_and_learn():
         )
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_engine_kinds():
+    from rebel_tpu.selfplay.fast_runner import (
+        FastBatchedEngine,
+        FastPallasEngine,
+        FastSelfPlayEngine,
+        make_engine,
+    )
+    from rebel_tpu.selfplay.runner import SelfPlayEngine
+
+    cfg = small_cfg().env
+    assert isinstance(make_engine(cfg), FastSelfPlayEngine)
+    assert isinstance(make_engine(cfg, kind="generic"), SelfPlayEngine)
+    assert isinstance(make_engine(cfg, kind="batched"), FastBatchedEngine)
+    assert isinstance(make_engine(cfg, kind="pallas"), FastPallasEngine)
+    deep = RecursiveSolvingParams(
+        num_dice=1, num_faces=3,
+        subgame_params=SubgameSolvingParams(num_iters=4, max_depth=3),
+    )
+    assert isinstance(make_engine(deep), SelfPlayEngine)
+    with pytest.raises(ValueError):
+        make_engine(deep, kind="pallas")
+
+
+def test_trainer_with_batched_engine():
+    cfg = small_cfg(engine="batched", max_epochs=1, exploit=False)
+    trainer = Trainer(cfg)
+    state, metrics = trainer.run()
+    assert np.isfinite(metrics[-1]["loss/train"])
+
+
+def test_config_engine_passthrough():
+    from rebel_tpu.config import cfg_to_trainer_config
+
+    cfg = {
+        "env": {"num_dice": 1, "num_faces": 3},
+        "selfplay": {"batch": 8, "engine": "batched"},
+    }
+    tc = cfg_to_trainer_config(cfg)
+    assert tc.engine == "batched" and tc.selfplay_batch == 8
