@@ -22,6 +22,8 @@ import logging
 import pathlib
 from typing import Callable
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,24 +60,50 @@ def full_solve(
     root = RootCtx.concrete(ctx.tree)
     state = solver.init(root, uniform_beliefs(game, dtype))
     step = jax.jit(solver.step)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def run_chunk(state, start, n):
+        # `n` iterations starting at absolute iteration `start` (the
+        # alternating traverser and discount schedules depend on it).
+        def body(st, i):
+            return solver.step(st, (start + i) % 2, root), None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(n))
+        return state
+
     trajectory = []
     iterates = []
-    for it in range(params.num_iters):
-        if collect_iterates and params.use_cfr and it % 2 == 0:
-            iterates.append(np.asarray(solver.sampling_strategy(state)))
-        state = step(state, it % 2, root)
-        if ((it + 1) & it) == 0 or it + 1 == params.num_iters:
-            e0, e1 = compute_exploitability2(
-                ctx, solver.average_strategy(state, root)
+    checkpoints = sorted(
+        {1 << k for k in range(params.num_iters.bit_length())}
+        | {params.num_iters}
+    )
+    checkpoints = [c for c in checkpoints if c <= params.num_iters]
+    it = 0
+    for target in checkpoints:
+        if collect_iterates and params.use_cfr:
+            # Collect even-iteration sampling strategies one step at a
+            # time (only used by the regret report; slower path).
+            while it < target:
+                if it % 2 == 0:
+                    iterates.append(
+                        np.asarray(solver.sampling_strategy(state))
+                    )
+                state = step(state, it % 2, root)
+                it += 1
+        else:
+            state = run_chunk(state, it, target - it)
+            it = target
+        e0, e1 = compute_exploitability2(
+            ctx, solver.average_strategy(state, root)
+        )
+        trajectory.append(
+            {"iter": it, "e0": e0, "e1": e1, "sum": (e0 + e1) / 2}
+        )
+        if progress:
+            log.info(
+                "Iter=%8d exploitabilities=(%.3e, %.3e) sum=%.3e",
+                it, e0, e1, (e0 + e1) / 2,
             )
-            trajectory.append(
-                {"iter": it + 1, "e0": e0, "e1": e1, "sum": (e0 + e1) / 2}
-            )
-            if progress:
-                log.info(
-                    "Iter=%8d exploitabilities=(%.3e, %.3e) sum=%.3e",
-                    it + 1, e0, e1, (e0 + e1) / 2,
-                )
     return (
         np.asarray(solver.average_strategy(state, root)),
         trajectory,
