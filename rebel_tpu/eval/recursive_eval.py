@@ -71,6 +71,17 @@ def full_solve(
         state, _ = jax.lax.scan(body, state, jnp.arange(n))
         return state
 
+    @partial(jax.jit, static_argnums=(2,))
+    def run_chunk_collect(state, start, n):
+        # Same, also emitting the even-iteration sampling strategies
+        # (for the immediate-regret report, recursive_eval.cc:283-287).
+        def body(st, i):
+            samp = solver.sampling_strategy(st)
+            return solver.step(st, (start + i) % 2, root), samp
+
+        state, samps = jax.lax.scan(body, state, jnp.arange(n))
+        return state, samps
+
     trajectory = []
     iterates = []
     checkpoints = sorted(
@@ -81,15 +92,12 @@ def full_solve(
     it = 0
     for target in checkpoints:
         if collect_iterates and params.use_cfr:
-            # Collect even-iteration sampling strategies one step at a
-            # time (only used by the regret report; slower path).
-            while it < target:
-                if it % 2 == 0:
-                    iterates.append(
-                        np.asarray(solver.sampling_strategy(state))
-                    )
-                state = step(state, it % 2, root)
-                it += 1
+            state, samps = run_chunk_collect(state, it, target - it)
+            samps = np.asarray(samps)
+            # Even absolute iterations only (recursive_eval.cc:285-287).
+            offset = (-it) % 2
+            iterates.extend(samps[offset::2])
+            it = target
         else:
             state = run_chunk(state, it, target - it)
             it = target
