@@ -187,6 +187,15 @@ def sampled_eval(
     return final, reports
 
 
+def ensure_dtype_support(dtype) -> None:
+    """float64 solving requires jax x64 mode; without it arrays silently
+    truncate to f32 while the 1e-80 smoothing constants underflow to
+    zero, producing NaNs in safe normalization."""
+    if jnp.dtype(dtype).itemsize == 8 and not jax.config.jax_enable_x64:
+        log.info("enabling jax x64 for float64 solving")
+        jax.config.update("jax_enable_x64", True)
+
+
 def run_eval(
     game: LiarsDice,
     base_params: SubgameSolvingParams,
@@ -197,6 +206,7 @@ def run_eval(
     dtype=jnp.float64,
 ) -> dict:
     """Full recursive_eval flow; returns the XXX/YYY-equivalent dict."""
+    ensure_dtype_support(dtype)
     params = base_params.replace(num_iters=subgame_iters)
     full_strategy, trajectory, iterates = full_solve(
         game, params, dtype, collect_iterates=params.use_cfr

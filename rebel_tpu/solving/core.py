@@ -43,11 +43,15 @@ REGRET_EPS_F32 = 1e-30
 
 
 def reach_eps(dtype) -> float:
-    return REACH_EPS_F64 if jnp.dtype(dtype).itemsize == 8 else REACH_EPS_F32
+    """NB: when x64 is disabled jax silently truncates f64 arrays to
+    f32; resolve the eps from the dtype jax will actually use."""
+    dt = jnp.zeros((), dtype).dtype  # canonicalized
+    return REACH_EPS_F64 if jnp.dtype(dt).itemsize == 8 else REACH_EPS_F32
 
 
 def regret_eps(dtype) -> float:
-    return REGRET_EPS_F64 if jnp.dtype(dtype).itemsize == 8 else REGRET_EPS_F32
+    dt = jnp.zeros((), dtype).dtype  # canonicalized
+    return REGRET_EPS_F64 if jnp.dtype(dt).itemsize == 8 else REGRET_EPS_F32
 
 
 # A value-net: maps a query batch [L, query_size] -> values [L, num_hands].
