@@ -463,12 +463,18 @@ class Trainer:
         ckpt_dir = self.out_dir / "ckpt"
         ckpt_dir.mkdir(parents=True, exist_ok=True)
         host_state = jax.tree.map(np.asarray, state)
-        with open(ckpt_dir / f"epoch{epoch}.ckpt", "wb") as f:
+        # Atomic write: a kill mid-dump must not leave a truncated
+        # checkpoint as the newest one.
+        tmp = ckpt_dir / f".epoch{epoch}.ckpt.tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(host_state, f)
+        tmp.replace(ckpt_dir / f"epoch{epoch}.ckpt")
         # Inference-only params export: the eval interchange format
         # (the reference's TorchScript export role, selfplay.py:551-552).
-        with open(ckpt_dir / f"epoch{epoch}.params", "wb") as f:
+        tmp = ckpt_dir / f".epoch{epoch}.params.tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(jax.tree.map(np.asarray, state.params), f)
+        tmp.replace(ckpt_dir / f"epoch{epoch}.params")
         # Retention: prune old full-state checkpoints.
         if self.cfg.keep_checkpoints:
             ckpts = sorted(

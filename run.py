@@ -78,10 +78,22 @@ def main(argv=None):
         trainer = Trainer(trainer_cfg, out_dir=exp_dir)
         state = None
         if args.mode == "start_continue":
-            ckpt = cfglib.latest_checkpoint(exp_dir)
-            if ckpt is not None:
-                log.info("Resuming from %s", ckpt)
-                state = trainer.load_checkpoint(str(ckpt))
+            # Fall back across checkpoints if the newest is unreadable
+            # (e.g. the process was killed mid-write before atomic
+            # writes existed).
+            ckpts = sorted(
+                (exp_dir / "ckpt").glob("epoch*.ckpt"),
+                key=lambda p: int(p.stem[5:]),
+                reverse=True,
+            ) if (exp_dir / "ckpt").exists() else []
+            for ckpt in ckpts:
+                try:
+                    state = trainer.load_checkpoint(str(ckpt))
+                    log.info("Resuming from %s", ckpt)
+                    break
+                except Exception as e:
+                    log.warning("Unreadable checkpoint %s (%s); trying "
+                                "older", ckpt, e)
         t0 = time.time()
         state, metrics = trainer.run(state)
         result = {
