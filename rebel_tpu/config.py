@@ -131,7 +131,15 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         out["use_layer_norm"] = kwargs.get("use_layer_norm", True)
     opt = c.pop("optimizer", {})
     if opt:
-        out["lr"] = opt.get("kwargs", {}).get("lr", opt.get("lr", 3e-4))
+        kwargs = opt.get("kwargs", {})
+        out["lr"] = kwargs.get("lr", opt.get("lr", 3e-4))
+        # classname 'Adam' / 'SGD' / 'hey.optimizers.RAdam' /
+        # 'hey.optimizers.Ralamb' (conf/common/optimizer/*.yaml).
+        cls = opt.get("classname", opt.get("name"))
+        if cls:
+            out["optimizer"] = str(cls).rsplit(".", 1)[-1].lower()
+        if "momentum" in kwargs:
+            out["momentum"] = kwargs["momentum"]
     data = c.pop("data", {})
     if data:
         out["train_epoch_size"] = data.get("train_epoch_size", 25600)

@@ -65,6 +65,10 @@ class TrainerConfig:
     decrease_lr_times: int = 2
     grad_clip: float = 5.0
     loss: str = "huber"
+    # Optimizer family (conf/common/optimizer/{adam,sgd,radam,ralamb}.yaml):
+    # 'adam' | 'sgd' | 'radam' | 'ralamb' (RAdam + layer-wise trust ratio).
+    optimizer: str = "adam"
+    momentum: float = 0.9  # sgd only (conf/common/optimizer/sgd.yaml)
     # Data (liars_sp.yaml:35-43).
     train_epoch_size: int = 25600
     train_batch_size: int = 512
@@ -137,6 +141,27 @@ def last_action_index(queries: jnp.ndarray, num_actions: int) -> jnp.ndarray:
     return jnp.where(has, onehot.argmax(-1), num_actions).astype(jnp.int32)
 
 
+def _make_optimizer(cfg: TrainerConfig, lr) -> optax.GradientTransformation:
+    """Optimizer families mirroring the reference's
+    conf/common/optimizer/{adam,sgd,radam,ralamb}.yaml (classnames
+    Adam / SGD / hey.optimizers.RAdam / hey.optimizers.Ralamb).
+    Ralamb = RAdam update rescaled by the LAMB layer-wise trust ratio."""
+    name = cfg.optimizer.lower()
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "sgd":
+        return optax.sgd(lr, momentum=cfg.momentum)
+    if name == "radam":
+        return optax.radam(lr)
+    if name == "ralamb":
+        return optax.chain(
+            optax.scale_by_radam(),
+            optax.scale_by_trust_ratio(),
+            optax.scale_by_learning_rate(lr),
+        )
+    raise ValueError(f"Unknown optimizer: {cfg.optimizer!r}")
+
+
 class Trainer:
     def __init__(self, cfg: TrainerConfig, out_dir: str | pathlib.Path = "."):
         self.cfg = cfg
@@ -152,7 +177,7 @@ class Trainer:
         self.steps_per_epoch = cfg.train_epoch_size // cfg.train_batch_size
         self.opt = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adam(lr_schedule(cfg, self.steps_per_epoch)),
+            _make_optimizer(cfg, lr_schedule(cfg, self.steps_per_epoch)),
         )
         self.num_decays = 0
         self._build_programs()

@@ -152,3 +152,38 @@ def test_config_engine_passthrough():
     }
     tc = cfg_to_trainer_config(cfg)
     assert tc.engine == "batched" and tc.selfplay_batch == 8
+
+
+def test_optimizer_families():
+    """All four reference optimizer families (conf/common/optimizer/
+    {adam,sgd,radam,ralamb}.yaml) build and take an update step."""
+    from rebel_tpu.training.trainer import _make_optimizer
+
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    grads = {"w": jnp.full((4, 3), 0.5), "b": jnp.ones((3,))}
+    for name in ("adam", "sgd", "radam", "ralamb"):
+        cfg = small_cfg(optimizer=name)
+        opt = _make_optimizer(cfg, 1e-3)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        assert np.isfinite(np.asarray(new["w"])).all(), name
+    with pytest.raises(ValueError):
+        _make_optimizer(small_cfg(optimizer="lion"), 1e-3)
+
+
+def test_config_optimizer_mapping(tmp_path):
+    from rebel_tpu import config as cfglib
+
+    (tmp_path / "optimizer").mkdir()
+    (tmp_path / "optimizer" / "sgd.yaml").write_text(
+        "classname: SGD\nkwargs:\n  lr: 0.001\n  momentum: 0.9\n"
+    )
+    (tmp_path / "main.yaml").write_text(
+        "defaults:\n  - optimizer: sgd\nenv:\n  num_dice: 1\n  num_faces: 3\n"
+    )
+    cfg = cfglib.load_yaml_config(tmp_path / "main.yaml")
+    tc = cfglib.cfg_to_trainer_config(cfg)
+    assert tc.optimizer == "sgd"
+    assert tc.lr == 0.001
+    assert tc.momentum == 0.9
