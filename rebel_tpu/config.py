@@ -166,6 +166,7 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         "train_gen_ratio",
         "max_epochs",
         "exploit",
+        "eval_mse",
     }
     for k in list(c):
         if k in direct:

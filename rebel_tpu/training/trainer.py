@@ -90,6 +90,9 @@ class TrainerConfig:
     keep_checkpoints: int = 3
     exploit_every: int = 20
     exploit: bool = True
+    # eval_mse/{net_reach,fp_reach} diagnostics during exploit evals
+    # (compute_stats_with_net, pybind.cc:57-84; selfplay.py:568-570).
+    eval_mse: bool = False
     eval_num_repeats: int = 0  # sampled-eval repeats (0 = single)
     # Validation snapshots from replay (selfplay.py:352-362) and dataset
     # dumps (selfplay.py:364-375) and buffer purging (selfplay.py:513-521).
@@ -478,7 +481,32 @@ class Trainer:
         )
         ctx = full_tree_context(self.game, self.cfg.solver_dtype)
         expl = compute_exploitability(ctx, strategy)
-        return {"exploitability_last": float(expl)}
+        out = {"exploitability_last": float(expl)}
+        if self.cfg.eval_mse:
+            # Net-quality MSE diagnostics (compute_stats_with_net,
+            # pybind.cc:57-84 -> stats.cc:44-153; logged as eval_mse/*
+            # in selfplay.py:568-570).
+            from rebel_tpu.eval.recursive_eval import full_solve
+            from rebel_tpu.eval.stats import eval_net
+
+            sp = self.cfg.env.subgame_params
+            full_strategy, _, _ = full_solve(
+                self.game, sp, self.cfg.solver_dtype, progress=False
+            )
+            for name, by_net in (("net_reach", True), ("fp_reach", False)):
+                out[f"eval_mse/{name}"] = float(
+                    eval_net(
+                        self.game,
+                        np.asarray(strategy),
+                        np.asarray(full_strategy),
+                        mdp_depth=sp.max_depth,
+                        fp_iters=sp.num_iters,
+                        value_fn=value_fn,
+                        traverse_by_net=by_net,
+                        dtype=self.cfg.solver_dtype,
+                    )
+                )
+        return out
 
     # ------------------------------------------------------ checkpoints
     def save_checkpoint(self, state: TrainState, epoch: int):

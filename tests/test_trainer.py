@@ -187,3 +187,17 @@ def test_config_optimizer_mapping(tmp_path):
     assert tc.optimizer == "sgd"
     assert tc.lr == 0.001
     assert tc.momentum == 0.9
+
+
+def test_eval_mse_metrics(tmp_path):
+    """exploit evals with eval_mse=True emit eval_mse/{net_reach,fp_reach}
+    (compute_stats_with_net pybind.cc:57-84; selfplay.py:568-570)."""
+    cfg = small_cfg(
+        max_epochs=1, exploit=True, exploit_every=1, eval_mse=True
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path)
+    _, metrics = trainer.run()
+    m = metrics[-1]
+    assert "exploitability_last" in m
+    assert np.isfinite(m["eval_mse/net_reach"])
+    assert np.isfinite(m["eval_mse/fp_reach"])
