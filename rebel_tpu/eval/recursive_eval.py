@@ -257,6 +257,35 @@ def run_eval(
     }
 
 
+def _load_net_value_fn(net_path: str, game, cfg: dict):
+    """Build a value fn from either this framework's pickled params
+    exports or the reference's release formats (torch.save state dicts,
+    scripts/eval_all.py:38-44; TorchScript exports, real_net.cc:57-87).
+    Routed by content: plain pickles load directly; anything else goes
+    through the torch importer."""
+    try:
+        from rebel_tpu.training.trainer import load_params
+
+        params = load_params(net_path)
+        if not (isinstance(params, dict) and "params" in params):
+            raise ValueError("not a rebel_tpu params export")
+        from rebel_tpu.nets.cfv_net import CFVNetSpec
+
+        model = cfg.get("model", {}).get("kwargs", {})
+        spec = CFVNetSpec(
+            game=game,
+            n_hidden=model.get("n_hidden", 256),
+            n_layers=model.get("n_layers", 2),
+            use_layer_norm=model.get("use_layer_norm", True),
+        )
+        return spec.value_fn(params)
+    except Exception:
+        from rebel_tpu.nets.torch_import import load_net2_checkpoint
+
+        spec, tparams = load_net2_checkpoint(net_path, game)
+        return spec.value_fn(tparams)
+
+
 def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:
     """Task entry for run.py: config keys ``env`` (game + subgame params),
     ``eval`` (net/subgame_iters/num_repeats/mdp_depth)."""
@@ -284,17 +313,7 @@ def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:
 
         value_fn = make_oracle_value_fn(game, base_params, dtype=dtype)
     elif net_path:
-        from rebel_tpu.nets.cfv_net import CFVNetSpec
-        from rebel_tpu.training.trainer import load_params
-
-        model = cfg.get("model", {}).get("kwargs", {})
-        spec = CFVNetSpec(
-            game=game,
-            n_hidden=model.get("n_hidden", 256),
-            n_layers=model.get("n_layers", 2),
-            use_layer_norm=model.get("use_layer_norm", True),
-        )
-        value_fn = spec.value_fn(load_params(net_path))
+        value_fn = _load_net_value_fn(net_path, game, cfg)
     return run_eval(
         game,
         base_params,

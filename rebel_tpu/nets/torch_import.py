@@ -49,11 +49,20 @@ def net2_state_dict_to_params(
 
 
 def load_net2_checkpoint(path: str, game: LiarsDice, **spec_kwargs):
-    """Load a reference ``.ckpt`` (torch.save of state_dict) into
-    (CFVNetSpec, params)."""
+    """Load a reference checkpoint into (CFVNetSpec, params).
+
+    Accepts both release formats: plain ``torch.save`` state dicts
+    (scripts/eval_all.py:38-44) and TorchScript archives (the
+    ``torch.jit.save`` exports consumed by the C++ eval via
+    ``TorchScriptNet``, real_net.cc:57-87)."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # TorchScript archive: load the scripted module, then read its
+        # state dict (same Net2 parameter names).
+        sd = torch.jit.load(path, map_location="cpu").state_dict()
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     hidden = sd["output.weight"].shape[1]

@@ -62,3 +62,21 @@ def test_net2_import_matches_torch(tmp_path):
         expect = net(torch.from_numpy(x)).numpy()
     got = np.asarray(spec.value_fn(params)(x))
     np.testing.assert_allclose(got, expect, atol=2e-6)
+
+
+def test_net2_import_torchscript(tmp_path):
+    """TorchScript archives (the reference's torch.jit.save exports,
+    real_net.cc:57-87) load through the same entry point."""
+    game = LiarsDice(num_dice=1, num_faces=4)
+    torch.manual_seed(3)
+    net = build_reference_net2(game)
+    path = tmp_path / "ref.torchscript"
+    torch.jit.save(torch.jit.script(net), str(path))
+
+    spec, params = load_net2_checkpoint(str(path), game)
+    assert spec.n_hidden == 32 and spec.n_layers == 2
+
+    x = np.random.RandomState(2).rand(8, game.query_size).astype(np.float32)
+    want = net(torch.from_numpy(x)).detach().numpy()
+    got = np.asarray(spec.value_fn(params)(x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
