@@ -83,3 +83,36 @@ def load_net2_checkpoint(path: str, game: LiarsDice, **spec_kwargs):
         **spec_kwargs,
     )
     return spec, net2_state_dict_to_params(sd, spec)
+
+
+def params_to_net2_state_dict(params: dict, spec: CFVNetSpec) -> dict:
+    """Inverse of :func:`net2_state_dict_to_params`: export CFVNet params
+    as a torch ``Net2`` state dict (the reference's checkpoint
+    interchange role, selfplay.py:548-552), so nets trained here can be
+    evaluated by reference tooling."""
+    import torch
+
+    p = params["params"]
+    stride = 4
+    sd = {}
+    for k in range(spec.n_layers):
+        sd[f"body.{stride * k}.weight"] = torch.from_numpy(
+            np.asarray(p[f"Dense_{k}"]["kernel"]).T.copy()
+        )
+        sd[f"body.{stride * k}.bias"] = torch.from_numpy(
+            np.asarray(p[f"Dense_{k}"]["bias"]).copy()
+        )
+        if spec.use_layer_norm:
+            sd[f"body.{stride * k + 1}.weight"] = torch.from_numpy(
+                np.asarray(p[f"LayerNorm_{k}"]["scale"]).copy()
+            )
+            sd[f"body.{stride * k + 1}.bias"] = torch.from_numpy(
+                np.asarray(p[f"LayerNorm_{k}"]["bias"]).copy()
+            )
+    sd["output.weight"] = torch.from_numpy(
+        np.asarray(p[f"Dense_{spec.n_layers}"]["kernel"]).T.copy()
+    )
+    sd["output.bias"] = torch.from_numpy(
+        np.asarray(p[f"Dense_{spec.n_layers}"]["bias"]).copy()
+    )
+    return sd

@@ -80,3 +80,35 @@ def test_net2_import_torchscript(tmp_path):
     want = net(torch.from_numpy(x)).detach().numpy()
     got = np.asarray(spec.value_fn(params)(x))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_net2_export_roundtrip(tmp_path):
+    """Params trained here export to a torch Net2 state dict that a torch
+    replica loads and evaluates identically (reverse interop,
+    selfplay.py:548-552 checkpoint role)."""
+    from rebel_tpu.nets.cfv_net import CFVNetSpec
+    from rebel_tpu.nets.torch_import import (
+        load_net2_checkpoint,
+        params_to_net2_state_dict,
+    )
+    import jax
+
+    game = LiarsDice(num_dice=1, num_faces=4)
+    spec = CFVNetSpec(game=game, n_hidden=32, n_layers=2)
+    params = spec.init_params(jax.random.PRNGKey(5))
+    sd = params_to_net2_state_dict(params, spec)
+
+    net = build_reference_net2(game)
+    net.load_state_dict(sd)
+    x = np.random.RandomState(3).rand(8, game.query_size).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(spec.value_fn(params)(x))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    # And back through the importer: full round trip.
+    path = tmp_path / "export.ckpt"
+    torch.save(sd, path)
+    spec2, params2 = load_net2_checkpoint(str(path), game)
+    got2 = np.asarray(spec2.value_fn(params2)(x))
+    np.testing.assert_allclose(got2, got, atol=1e-7)
