@@ -81,11 +81,11 @@ def main():
 
                 value_fn = zero_value_fn(game)
             elif args.net:
-                from rebel_tpu.nets.cfv_net import CFVNetSpec
-                from rebel_tpu.training.trainer import load_params
+                # Handles pickled .params exports and the reference's
+                # torch state-dict / TorchScript release formats alike.
+                from rebel_tpu.eval.recursive_eval import _load_net_value_fn
 
-                spec = CFVNetSpec(game=game)
-                value_fn = spec.value_fn(load_params(args.net))
+                value_fn = _load_net_value_fn(args.net, game, {})
             elif args.ckpt_root:
                 ckpts = sorted(
                     pathlib.Path(args.ckpt_root).rglob("epoch*.params"),
