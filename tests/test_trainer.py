@@ -136,9 +136,9 @@ def test_engine_kinds():
         make_engine(deep, kind="pallas")
 
 
-def test_trainer_with_batched_engine():
+def test_trainer_with_batched_engine(tmp_path):
     cfg = small_cfg(engine="batched", max_epochs=1, exploit=False)
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, out_dir=tmp_path)
     state, metrics = trainer.run()
     assert np.isfinite(metrics[-1]["loss/train"])
 
