@@ -1,5 +1,7 @@
 """Native host-store + reference-RNG tests (csrc/)."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -68,3 +70,25 @@ def test_reference_rng_discrete():
         counts[r.discrete([0.2, 0.3, 0.5])] += 1
     freq = counts / counts.sum()
     np.testing.assert_allclose(freq, [0.2, 0.3, 0.5], atol=0.04)
+
+
+def test_store_tsan_concurrent():
+    """Data-race check on the threaded host store: build the TSAN stress
+    driver (csrc/store_tsan_test.cc) and require a clean run. The
+    reference has no sanitizer coverage (SURVEY §5)."""
+    import shutil
+    import subprocess
+
+    csrc = pathlib.Path(__file__).resolve().parents[1] / "csrc"
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    build = subprocess.run(
+        ["make", "-C", str(csrc), "tsan"], capture_output=True, text=True
+    )
+    if build.returncode != 0:
+        pytest.skip(f"tsan build unavailable: {build.stderr[-200:]}")
+    run = subprocess.run(
+        [str(csrc / "store_tsan_test")], capture_output=True, text=True
+    )
+    assert run.returncode == 0, run.stderr
+    assert "ThreadSanitizer" not in run.stderr, run.stderr
