@@ -157,6 +157,10 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         )
         if "engine" in selfplay:
             out["engine"] = selfplay["engine"]
+        if "dump_dataset_every_epochs" in selfplay:
+            out["dump_dataset_every_epochs"] = selfplay[
+                "dump_dataset_every_epochs"
+            ]
     direct = {
         "seed",
         "decrease_lr_every",
@@ -167,6 +171,11 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         "max_epochs",
         "exploit",
         "eval_mse",
+        "create_validation_set_every",
+        "dump_dataset_every_epochs",
+        "purging_epochs",
+        "purging_share_keep",
+        "train_preload",
     }
     for k in list(c):
         if k in direct:
@@ -176,14 +185,11 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
     # even in the reference — SURVEY §2.2).
     ignored = {
         "task",
-        "create_validation_set_every",
         "min_buffer_to_send",
         "show_progress_bar",
         "benchmark_data_gen",
         "fake_training",
         "train_policy",
-        "purging_epochs",
-        "purging_share_keep",
     }
     for k in list(c):
         if k in ignored:

@@ -201,3 +201,71 @@ def test_eval_mse_metrics(tmp_path):
     assert "exploitability_last" in m
     assert np.isfinite(m["eval_mse/net_reach"])
     assert np.isfinite(m["eval_mse/fp_reach"])
+
+
+def test_reference_config_verbatim(tmp_path):
+    """The reference's canonical liars_sp.yaml maps onto TrainerConfig
+    with no unknown-key errors and the right hyperparameters
+    (conf/c02_selfplay/liars_sp.yaml)."""
+    from rebel_tpu import config as cfglib
+
+    (tmp_path / "optimizer").mkdir()
+    (tmp_path / "optimizer" / "adam.yaml").write_text(
+        "classname: Adam\nkwargs:\n  lr: 0.0003\n"
+    )
+    (tmp_path / "liars_sp.yaml").write_text(
+        """
+defaults:
+  - optimizer: adam
+seed: 0
+decrease_lr_every: 400
+decrease_lr_times: 2
+grad_clip: 5.0
+env:
+  num_dice: 1
+  num_faces: 4
+  random_action_prob: 0.25
+  sample_leaf: true
+  subgame_params:
+    num_iters: 1024
+    max_depth: 2
+    linear_update: true
+exploit: true
+selfplay:
+  network_sync_epochs: 1
+  dump_dataset_every_epochs: 200
+  threads_per_gpu: -1
+  models_per_gpu: 1
+  cpu_gen_threads: 60
+train_gen_ratio: 4
+loss: huber
+min_buffer_to_send: 2500
+max_epochs: 10000
+model:
+  name: Net2
+  kwargs:
+    n_hidden: 256
+    n_layers: 2
+    use_layer_norm: true
+create_validation_set_every: 100
+data:
+  train_epoch_size: 25600
+  train_batch_size: 512
+replay:
+  capacity: 2000000
+  alpha: 1.0
+  beta: 1.0
+  prefetch: 8
+  use_priority: false
+"""
+    )
+    cfg = cfglib.load_yaml_config(tmp_path / "liars_sp.yaml")
+    cfg.pop("task", None)
+    tc = cfglib.cfg_to_trainer_config(cfg)
+    assert tc.lr == 3e-4 and tc.optimizer == "adam"
+    assert tc.train_epoch_size == 25600 and tc.train_batch_size == 512
+    assert tc.replay_capacity == 2_000_000 and not tc.use_priority
+    assert tc.create_validation_set_every == 100
+    assert tc.dump_dataset_every_epochs == 200
+    assert tc.env.num_faces == 4 and tc.env.subgame_params.num_iters == 1024
+    assert tc.max_epochs == 10000 and tc.grad_clip == 5.0
