@@ -39,7 +39,8 @@ REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.j
 
 
 def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
-            layout: str = "batch_last"):
+            layout: str = "batch_last", no_net: bool = False,
+            lane_block: int = 128, mlp_chunks: int = 1):
     from rebel_tpu.nets.cfv_net import CFVNetSpec
     from rebel_tpu.selfplay.fast_runner import FastBatchedEngine, make_engine
     from rebel_tpu.selfplay.runner import EpisodeState, RecursiveSolvingParams
@@ -63,17 +64,23 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
         from rebel_tpu.selfplay.fast_runner import FastPallasEngine
 
         engine = FastPallasEngine(
-            cfg=cfg, dtype=jnp.float32, net_compute_dtype=spec_dtype
+            cfg=cfg, dtype=jnp.float32, net_compute_dtype=spec_dtype,
+            lane_block=lane_block, mlp_chunks=mlp_chunks,
         )
     else:
         engine = make_engine(cfg, dtype=jnp.float32)
     spec = CFVNetSpec(game=engine.game, compute_dtype=spec_dtype)
     params = spec.init_params(jax.random.PRNGKey(0))
-    net_arg = (
-        params
-        if getattr(engine, "wants_params", False)
-        else spec.value_fn(params)
-    )
+    if no_net:
+        # Diagnostic: solver-only cost (the MLP + query assembly is
+        # dead-code-eliminated when no params are passed).
+        net_arg = None if getattr(engine, "wants_params", False) else None
+    else:
+        net_arg = (
+            params
+            if getattr(engine, "wants_params", False)
+            else spec.value_fn(params)
+        )
 
     eps = EpisodeState.initial_batch(engine.game, batch, jnp.float32)
     step = jax.jit(lambda e, k: engine.batch_step(e, k, net_arg))
@@ -124,6 +131,10 @@ def main():
         "--layout", default="pallas",
         choices=("batch_last", "batch_first", "pallas"),
     )
+    ap.add_argument("--no-net", action="store_true",
+                    help="diagnostic: solver-only (MLP elided)")
+    ap.add_argument("--lane-block", type=int, default=128)
+    ap.add_argument("--mlp-chunks", type=int, default=1)
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.num_iters, args.steps = 64, 32, 2
@@ -143,9 +154,11 @@ def main():
                 f"cycle {cycle}: items {total_items} "
                 f"per_second {total_items / elapsed:.2f}"
             )
+    kw = dict(no_net=args.no_net, lane_block=args.lane_block,
+              mlp_chunks=args.mlp_chunks)
     try:
         res = measure(
-            args.batch, args.num_iters, args.steps, layout=args.layout
+            args.batch, args.num_iters, args.steps, layout=args.layout, **kw
         )
     except Exception as e:  # pallas/Mosaic toolchain hiccup: fall back
         if args.layout == "batch_first":
@@ -154,7 +167,7 @@ def main():
               "falling back to batch_first", flush=True)
         args.layout = "batch_first"
         res = measure(
-            args.batch, args.num_iters, args.steps, layout=args.layout
+            args.batch, args.num_iters, args.steps, layout=args.layout, **kw
         )
     if args.profile:
         jax.profiler.stop_trace()

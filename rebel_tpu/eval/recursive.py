@@ -296,6 +296,174 @@ def compute_strategy_recursive_to_leaf(
     return strategy
 
 
+@dataclasses.dataclass(frozen=True, eq=False)
+class Grid2FrontierSolver:
+    """Depth-2 frontier solver on the gather-free action-grid engine
+    (:class:`rebel_tpu.solving.grid2.Grid2Solver`), vmapped over lanes.
+
+    Used by the batched sampled-strategy evaluation: each lane is one
+    (repeat, subgame-root) pair; the per-lane stop iteration ``t`` is
+    realized by snapshotting the sampling strategy at ``t`` inside the
+    full iteration scan (identical results to stopping at ``t``)."""
+
+    game: LiarsDice
+    params: SubgameSolvingParams
+    dtype: jnp.dtype = jnp.float64
+    value_fn: ValueFn | None = None
+    chunk: int = 1024
+
+    def __post_init__(self):
+        assert self.params.max_depth == 2
+        from rebel_tpu.solving.grid2 import Grid2Solver
+
+        solver = Grid2Solver(
+            game=self.game,
+            params=self.params,
+            dtype=self.dtype,
+            value_fn=self.value_fn,
+        )
+
+        def solve_one(bid, player, beliefs, t):
+            root = RootCtx.of(self.game, bid, player)
+            state = solver.init(root, beliefs)
+            snap = solver.sampling_strategy(state, root)
+
+            def body(carry, it):
+                st, sn = carry
+                cur = solver.sampling_strategy(st, root)
+                sn = jax.tree.map(
+                    lambda c, s: jnp.where(it == t, c, s), cur, sn
+                )
+                st = solver.step(st, it % 2, root)
+                return (st, sn), None
+
+            (state, snap), _ = jax.lax.scan(
+                body, (state, snap), jnp.arange(self.params.num_iters)
+            )
+            fin = solver.sampling_strategy(state, root)
+            snap = jax.tree.map(
+                lambda f, s: jnp.where(t == self.params.num_iters, f, s),
+                fin, snap,
+            )
+            return snap  # (p0 [H, A], p1 [A, H, A])
+
+        object.__setattr__(self, "_solve", jax.jit(jax.vmap(solve_one)))
+
+    def solve(self, bids, players, beliefs, stops):
+        """bids/players/stops [B], beliefs [B, 2, H] ->
+        (snap0 [B, H, A], snap1 [B, A, H, A]) as numpy."""
+        B = int(np.shape(bids)[0])
+        chunk = min(self.chunk, max(B, 1))
+        outs0, outs1 = [], []
+        for lo in range(0, B, chunk):
+            hi = min(lo + chunk, B)
+            pad = chunk - (hi - lo)
+            rows = lambda x: np.concatenate(
+                [x[lo:hi]] + ([x[lo : lo + 1]] * pad if pad else []), 0
+            )
+            s0, s1 = self._solve(
+                jnp.asarray(rows(np.asarray(bids, np.int32))),
+                jnp.asarray(rows(np.asarray(players, np.int32))),
+                jnp.asarray(rows(np.asarray(beliefs)), self.dtype),
+                jnp.asarray(rows(np.asarray(stops, np.int32))),
+            )
+            outs0.append(np.asarray(s0)[: hi - lo])
+            outs1.append(np.asarray(s1)[: hi - lo])
+        return np.concatenate(outs0, 0), np.concatenate(outs1, 0)
+
+
+def compute_sampled_strategies_to_leaf_batch(
+    game: LiarsDice,
+    params: SubgameSolvingParams,
+    value_fn: ValueFn | None,
+    seeds: list[int],
+    dtype=jnp.float64,
+    chunk: int = 1024,
+) -> np.ndarray:
+    """Batched ``compute_sampled_strategy_recursive_to_leaf`` over many
+    repeat seeds at ``max_depth == 2`` (the paper protocol,
+    /root/reference/scripts/eval_all.py:61-104).
+
+    The recursion's frontier *structure* (which full-tree nodes get a
+    subgame) is deterministic and identical across repeats; only beliefs
+    and per-subgame stop iterations differ.  So all repeats advance in
+    lockstep and every frontier level is solved as one dense device
+    batch — replacing the reference's thread pool over repeats
+    (recursive_eval.cc:117-191) with lane parallelism.
+
+    Per-repeat stop-iteration draws replicate the sequential
+    implementation exactly (same RandomState(seed), same draw order), so
+    results match ``compute_sampled_strategy_recursive_to_leaf`` lane
+    for lane.  Returns strategies ``[R, N_full, H, A]`` (solver dtype).
+    """
+    assert params.max_depth == 2
+    full = unroll_tree(game)
+    fsolver = Grid2FrontierSolver(game, params, dtype, value_fn, chunk)
+    eps = reach_eps(dtype)
+    H, A = game.num_hands, game.num_actions
+    liar = game.liar_call
+    R = len(seeds)
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    strategy = np.zeros((R, full.num_nodes, H, A), npdt)
+    rngs = [np.random.RandomState(s) for s in seeds]
+    weights = np.array(
+        [0.0 if i % 2 else i / 2.0 + 1 for i in range(params.num_iters)]
+    )
+    pw = weights / weights.sum()
+
+    # frontier: list of (full-tree node, beliefs [R, 2, H])
+    frontier = [(0, np.full((R, 2, H), 1.0 / H, npdt))]
+    while frontier:
+        frontier = [(n, b) for n, b in frontier if not full.is_terminal[n]]
+        if not frontier:
+            break
+        F = len(frontier)
+        nodes = [n for n, _ in frontier]
+        bids = np.array([full.last_bid[n] for n in nodes], np.int32)
+        players = np.array([full.node_player(n) for n in nodes], np.int32)
+        # Per-repeat stops drawn in frontier order (matches the
+        # sequential path's RandomState usage, recursive_solving.cc:305-318).
+        stops = np.stack(
+            [rng.choice(len(weights), size=F, p=pw) for rng in rngs]
+        ).astype(np.int32)  # [R, F]
+        beliefs = np.stack([b for _, b in frontier], axis=1)  # [R, F, 2, H]
+
+        snap0, snap1 = fsolver.solve(
+            np.tile(bids, R),
+            np.tile(players, R),
+            beliefs.reshape(R * F, 2, H),
+            stops.reshape(R * F),
+        )
+        snap0 = snap0.reshape(R, F, H, A)
+        snap1 = snap1.reshape(R, F, A, H, A)
+
+        next_frontier = []
+        for i, n in enumerate(nodes):
+            strategy[:, n] = snap0[:, i]
+            p0 = int(players[i])
+            for a1 in range(int(bids[i]) + 1, A):
+                c1 = full.child_index[n, a1]
+                if c1 == NO_CHILD or a1 == liar:
+                    continue
+                strategy[:, c1] = snap1[:, i, a1]
+                for a2 in range(a1 + 1, A):
+                    c2 = full.child_index[c1, a2]
+                    if c2 == NO_CHILD or a2 == liar:
+                        continue
+                    if full.num_children[c2] == 0:
+                        continue
+                    nb = np.empty((R, 2, H), npdt)
+                    nb[:, p0] = _normalize_safe_np(
+                        beliefs[:, i, p0] * snap0[:, i, :, a1], eps
+                    )
+                    nb[:, 1 - p0] = _normalize_safe_np(
+                        beliefs[:, i, 1 - p0] * snap1[:, i, a1, :, a2], eps
+                    )
+                    next_frontier.append((int(c2), nb))
+        frontier = next_frontier
+    return strategy
+
+
 def compute_sampled_strategy_recursive_to_leaf(
     game: LiarsDice,
     params: SubgameSolvingParams,

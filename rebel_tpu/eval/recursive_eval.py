@@ -134,6 +134,39 @@ def acting_player_reach(
     return np.where(player[:, None], np.asarray(r1), np.asarray(r0))
 
 
+def _repeat_chunks(num_repeats: int, max_chunk: int) -> list[list[int]]:
+    """Seed chunks sized so cumulative counts hit every power of two up
+    to ``max_chunk`` (the reference reports at power-of-2 repeat counts,
+    recursive_eval.cc:364-386): [1, 1, 2, 4, ..., max_chunk, ...]."""
+    chunks, done = [], 0
+    while done < num_repeats:
+        size = 1 if done == 0 else min(done, max_chunk)
+        size = min(size, num_repeats - done)
+        chunks.append(list(range(done, done + size)))
+        done += size
+    return chunks
+
+
+def acting_player_reach_batch(
+    ctx: SolverContext, strategies: np.ndarray
+) -> np.ndarray:
+    """[R, N, H, A] -> [R, N, H] acting-player reach per repeat (device
+    batched version of :func:`acting_player_reach`)."""
+    root = RootCtx.concrete(ctx.tree)
+    beliefs = uniform_beliefs(ctx.game, ctx.dtype)
+    player = jnp.asarray((ctx.tree.depth % 2).astype(bool))
+
+    @jax.jit
+    def one(s):
+        r0 = ctx.compute_reaches(s, beliefs[0], 0, root)
+        r1 = ctx.compute_reaches(s, beliefs[1], 1, root)
+        return jnp.where(player[:, None], r1, r0)
+
+    return np.stack(
+        [np.asarray(one(jnp.asarray(s, ctx.dtype))) for s in strategies]
+    )
+
+
 def sampled_eval(
     game: LiarsDice,
     params: SubgameSolvingParams,
@@ -143,33 +176,72 @@ def sampled_eval(
     mdp_depth: int = 2,
     dtype=jnp.float64,
     progress: bool = True,
+    batched: bool | None = None,
+    max_chunk: int | None = None,
 ):
-    """Phase 2: reach-weighted average of sampled recursive strategies."""
+    """Phase 2: reach-weighted average of sampled recursive strategies.
+
+    ``batched`` (default: auto, on when ``mdp_depth == 2``) runs repeats
+    as device lane batches via
+    :func:`rebel_tpu.eval.recursive.compute_sampled_strategies_to_leaf_batch`
+    — same per-seed results as the sequential path, minutes instead of
+    hours at the paper protocol's 1024 repeats."""
     ctx = full_tree_context(game, dtype)
     sub_params = params.replace(max_depth=mdp_depth)
+    if batched is None:
+        batched = mdp_depth == 2
+    if max_chunk is None:
+        # Bound the [Rc, N, H, A] per-chunk strategy block to ~256 MB.
+        per = ctx.tree.num_nodes * game.num_hands * game.num_actions * 8
+        max_chunk = max(1, min(256, int(2 ** np.floor(np.log2(
+            max(1, 256 * 2**20 // per))))))
     summed_strategy = None
     summed_reach = None
     reports = []
+    done = 0
+
+    def strat_reach_chunks():
+        if batched:
+            from rebel_tpu.eval.recursive import (
+                compute_sampled_strategies_to_leaf_batch,
+            )
+
+            for seeds in _repeat_chunks(num_repeats, max_chunk):
+                strats = compute_sampled_strategies_to_leaf_batch(
+                    game, sub_params, value_fn, seeds, dtype=dtype
+                ).astype(np.float32)
+                reaches = acting_player_reach_batch(ctx, strats).astype(
+                    np.float32
+                )
+                yield strats, reaches
+        else:
+            for rep in range(num_repeats):
+                strat = compute_sampled_strategy_recursive_to_leaf(
+                    game, sub_params, value_fn, seed=rep, dtype=dtype
+                ).astype(np.float32)[None]
+                reach = acting_player_reach(ctx, strat[0]).astype(
+                    np.float32
+                )[None]
+                yield strat, reach
+
     # float32 accumulation mirrors the reference's torch f32 tensors
     # (recursive_eval.cc:83-96).
-    for rep in range(num_repeats):
-        strat = compute_sampled_strategy_recursive_to_leaf(
-            game, sub_params, value_fn, seed=rep, dtype=dtype
-        ).astype(np.float32)
-        reach = acting_player_reach(ctx, strat).astype(np.float32)[:, :, None]
+    for strats, reaches in strat_reach_chunks():
+        contrib = (strats * reaches[:, :, :, None]).sum(0)
+        rsum = reaches.sum(0)[:, :, None]
         if summed_strategy is None:
-            summed_strategy = strat * reach
-            summed_reach = reach.copy()
+            summed_strategy, summed_reach = contrib, rsum
         else:
-            summed_strategy += strat * reach
-            summed_reach += reach
-        if ((rep + 1) & rep) == 0 or rep + 1 == num_repeats:
+            summed_strategy += contrib
+            summed_reach += rsum
+        done += strats.shape[0]
+        if (done & (done - 1)) == 0 or done == num_repeats:
             final = summed_strategy / (summed_reach + 1e-6)
             e0, e1 = compute_exploitability2(ctx, final)
             ev0, ev1 = compute_ev2(ctx, full_strategy, final)
             reports.append(
                 {
-                    "repeats": rep + 1,
+                    "repeats": done,
                     "e0": e0,
                     "e1": e1,
                     "exploitability": (e0 + e1) / 2,
@@ -181,7 +253,7 @@ def sampled_eval(
             if progress:
                 log.info(
                     "%5d: %.6g (%.6g,%.6g)\tEV of full: %.6g",
-                    rep + 1, (e0 + e1) / 2, e0, e1, (ev0 + ev1) / 2,
+                    done, (e0 + e1) / 2, e0, e1, (ev0 + ev1) / 2,
                 )
     final = summed_strategy / (summed_reach + 1e-6)
     return final, reports

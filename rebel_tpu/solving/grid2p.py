@@ -109,6 +109,16 @@ class Grid2PallasSolver:
         )  # [A, LB]
         m0f = m0.astype(dt)
 
+        # ---- loop-invariant masks, hoisted out of the iteration loop.
+        # (Inside fori_loop Mosaic does not reliably hoist these; at
+        # 1024 iterations the rebuild cost is the dominant VPU load.)
+        m1e_b = m1_mask((A, H, A, LB), 0, 2)  # [A1,H,A2,LB] bool
+        m0e_b = m0_mask((A, H, A, LB), 0)
+        m1e_f = m1e_b.astype(dt)
+        m1eff_b = m1e_b & m0e_b
+        m1eff_f = m1eff_b.astype(dt)
+        m1_2d = m1_mask((A, A, H, LB), 0, 1).astype(dt)  # [A1,A2,H,LB]
+
         bel_p0, bel_p1 = beliefs[0], beliefs[1]  # [H, LB]
         root_is0 = (player == 0)[None, :]  # [1, LB]
         bel_root = jnp.where(root_is0, bel_p0, bel_p1)
@@ -119,41 +129,32 @@ class Grid2PallasSolver:
             (m0f / jnp.maximum(m0f.sum(0, keepdims=True), 1.0))[None],
             (H, A, LB),
         )
-        u1m = m1_mask((A, H, A, LB), 0, 2).astype(dt)
+        u1m = m1e_f
         u1cnt = jnp.maximum(
             (A - 1 - iota((A, H, A, LB), 0)).astype(dt), 1.0
         )
         u1 = u1m / u1cnt
 
+        # Root-terminal win operator.  p_win[h] = sum_{h'} opp[h'] *
+        # [matches(h') >= clip(quantity - matches(h), 0, D)], so the
+        # whole bid-dependent part is one [H, H', LB] comparison matrix
+        # computed once (the suffix-sum/bucket route of the reference,
+        # subgame_solving.cc:765-789, collapsed algebraically).
+        faces_inv = bid % game.num_faces  # [LB]
+        quant_inv = 1 + bid // game.num_faces
+        fsel_inv = (
+            faces_inv[None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (game.num_faces, 1), 0)
+        ).astype(dt)  # [F, LB]
+        own_inv = jnp.einsum(
+            "hf,fb->hb", matches_f, fsel_inv, preferred_element_type=dt
+        )  # [H, LB]
+        left_inv = jnp.clip(quant_inv[None, :] - own_inv, 0, D)  # [H, LB]
+        M_win = (own_inv[None] >= left_inv[:, None, :]).astype(dt)  # [H,H',LB]
+
         def win_values_root(opp_mass):
             """Terminal payoff vs dynamic root bid: [H, LB]."""
-            faces = bid % game.num_faces  # [LB]
-            quant = 1 + bid // game.num_faces
-            fsel = (
-                faces[None, :]
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (game.num_faces, 1), 0
-                )
-            ).astype(dt)  # [F, LB]
-            own = jnp.einsum(
-                "hf,fb->hb", matches_f, fsel,
-                preferred_element_type=dt,
-            )  # [H, LB]
-            onehot = (
-                own[:, None, :]
-                == jax.lax.broadcasted_iota(jnp.int32, (1, D + 1, 1), 1)
-            ).astype(dt)  # [H, D+1, LB]
-            buckets = (opp_mass[:, None, :] * onehot).sum(0)  # [D+1, LB]
-            # Static suffix sums (Mosaic has no `rev`; D is tiny).
-            cum = jnp.stack(
-                [buckets[j:].sum(0) for j in range(D + 1)], axis=0
-            )
-            left = jnp.clip(quant[None, :] - own, 0, D)  # [H, LB]
-            sel = (
-                left[:, None, :]
-                == jax.lax.broadcasted_iota(jnp.int32, (1, D + 1, 1), 1)
-            ).astype(dt)
-            p_win = (cum[None] * sel).sum(1)  # [H, LB]
+            p_win = (M_win * opp_mass[None]).sum(1)  # [H, LB]
             return p_win * 2 - opp_mass.sum(0, keepdims=True)
 
         def win_values_lvl2(opp_mass):
@@ -183,44 +184,73 @@ class Grid2PallasSolver:
             erf = jnp.sign(z) * erf_abs
             return x * 0.5 * (1.0 + erf)
 
-        def mlp(x):
-            """x [Q, N] -> [H, N] via the CFVNet params (transposed)."""
-            if not net_param_list:
-                return jnp.zeros((H, x.shape[1]), dt)
-            cdt = self.net_compute_dtype
-            # Matmul inputs in cdt (bf16 on the fast path); accumulators
-            # must be f32 on the MXU.
-            x = x.astype(cdt)
+        # Net params read + cast ONCE (hoisted; per-iteration re-reads
+        # and f32->bf16 casts of the weights are pure VPU waste).
+        cdt = self.net_compute_dtype
+        net_consts = []
+        if net_param_list:
             i = 0
             n_layers = (len(net_param_list) - 2) // 4
             for _ in range(n_layers):
                 W, b, scale, bias = net_param_list[i : i + 4]
                 i += 4
+                net_consts.append((
+                    W[...].astype(cdt).T,
+                    b[...].astype(jnp.float32)[:, None],
+                    scale[...].astype(cdt)[:, None],
+                    bias[...].astype(cdt)[:, None],
+                ))
+            W, b = net_param_list[i : i + 2]
+            head_consts = (
+                W[...].astype(cdt).T,
+                b[...].astype(jnp.float32)[:, None],
+            )
+
+        def mlp(x):
+            """x [Q, N] -> [H, N] via the CFVNet params (transposed).
+
+            Matmul inputs in cdt (bf16 on the fast path) with f32 MXU
+            accumulators.  LayerNorm statistics stay f32; the affine +
+            GELU run in cdt (exact for f32; at bf16 the activation
+            noise is below the bf16 matmul rounding already accepted).
+            """
+            if not net_param_list:
+                return jnp.zeros((H, x.shape[1]), dt)
+            x = x.astype(cdt)
+            for W_t, b_col, scale_col, bias_col in net_consts:
                 x = (
-                    jnp.dot(
-                        W[...].astype(cdt).T, x,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + b[...].astype(jnp.float32)[:, None]
+                    jnp.dot(W_t, x, preferred_element_type=jnp.float32)
+                    + b_col
                 )
                 mu = x.mean(axis=0, keepdims=True)
                 var = ((x - mu) ** 2).mean(axis=0, keepdims=True)
-                x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-                x = x * scale[...].astype(jnp.float32)[:, None] + bias[
-                    ...
-                ].astype(jnp.float32)[:, None]
-                x = gelu_erf(x).astype(cdt)
-            W, b = net_param_list[i : i + 2]
-            x = (
-                jnp.dot(
-                    W[...].astype(cdt).T, x,
-                    preferred_element_type=jnp.float32,
-                )
-                + b[...].astype(jnp.float32)[:, None]
-            )
+                x = ((x - mu) * jax.lax.rsqrt(var + 1e-6)).astype(cdt)
+                x = x * scale_col + bias_col
+                x = gelu_erf(x)
+            W_t, b_col = head_consts
+            x = jnp.dot(W_t, x, preferred_element_type=jnp.float32) + b_col
             return x.astype(dt)
 
         P = self.pairs.shape[0]
+
+        # Query rows that do not change across iterations, hoisted:
+        # player id repeated per pair [1, P*LB] and the one-hot(a2)
+        # block [A, P*LB] (a compile-time pattern).
+        prow_full = jnp.concatenate(
+            [player.astype(dt)[None, :]] * P, axis=1
+        )  # [1, P*LB]
+        onehot_full = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    (
+                        jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0) == a2
+                    ).astype(dt),
+                    (A, LB),
+                )
+                for _, a2 in self.pairs
+            ],
+            axis=1,
+        )  # [A, P*LB]
 
         def leaf_values(traverser, S0, S1):
             trav_is0 = traverser == 0
@@ -235,7 +265,7 @@ class Grid2PallasSolver:
             r2_o = r1_o[:, None] * jnp.where(
                 opp_is_root[None], 1.0, S1_t
             )
-            r2_o = r2_o * m1_mask((A, A, H, LB), 0, 1).astype(dt)
+            r2_o = r2_o * m1_2d
 
             trav_int = jnp.asarray(traverser, jnp.int32)
             lvl1_player = (player + 1) % 2
@@ -251,43 +281,48 @@ class Grid2PallasSolver:
             r2_t = r1_t[:, None] * jnp.where(
                 ~opp_is_root[None], 1.0, S1_t
             )
-            r2_t = r2_t * m1_mask((A, A, H, LB), 0, 1).astype(dt)
+            r2_t = r2_t * m1_2d
             r2_0 = jnp.where(trav_is0, r2_t, r2_o)
             r2_1 = jnp.where(trav_is0, r2_o, r2_t)
 
-            def norm_safe(x):
+            # Normalize the whole [A1, A2, H, LB] grids densely (three
+            # wide VPU ops) instead of 2*P small per-pair normalizes.
+            def norm_grid(x):
                 x = x + eps_reach
-                return x / x.sum(0, keepdims=True)
+                return x / x.sum(2, keepdims=True)
 
-            cols = []
-            for a1, a2 in self.pairs:
-                b0 = norm_safe(r2_0[a1, a2])  # [H, LB]
-                b1 = norm_safe(r2_1[a1, a2])
-                onehot = (
-                    jax.lax.broadcasted_iota(jnp.int32, (A, 1), 0) == a2
-                ).astype(dt)
-                onehot = jnp.broadcast_to(onehot, (A, LB))
-                prow = player.astype(dt)[None, :]
-                trow = jnp.broadcast_to(
-                    jnp.asarray(traverser, dt), (1, LB)
-                )
-                cols.append(
-                    jnp.concatenate([prow, trow, onehot, b0, b1], axis=0)
-                )
+            b0T = jnp.moveaxis(norm_grid(r2_0), 2, 0)  # [H, A1, A2, LB]
+            b1T = jnp.moveaxis(norm_grid(r2_1), 2, 0)
+            b0_full = jnp.concatenate(
+                [b0T[:, a1, a2] for a1, a2 in self.pairs], axis=1
+            )  # [H, P*LB]
+            b1_full = jnp.concatenate(
+                [b1T[:, a1, a2] for a1, a2 in self.pairs], axis=1
+            )
+            trow_full = jnp.broadcast_to(
+                jnp.asarray(traverser, dt)[None, None], (1, P * LB)
+            )
+            X = jnp.concatenate(
+                [prow_full, trow_full, onehot_full, b0_full, b1_full],
+                axis=0,
+            )  # [Q, P*LB]
+
             nch = max(1, self.mlp_chunks)
-            per = (len(cols) + nch - 1) // nch
+            per = (P + nch - 1) // nch
             outs = []
-            for c0 in range(0, len(cols), per):
-                Xc = jnp.concatenate(cols[c0 : c0 + per], axis=1)
-                outs.append(mlp(Xc))
+            for c0 in range(0, P, per):
+                outs.append(mlp(X[:, c0 * LB : (c0 + per) * LB]))
             net_out = jnp.concatenate(outs, axis=1)  # [H, P*LB]
 
+            # Counterfactual rescale: opponent reach mass per leaf.
+            mass = r2_o.sum(2)  # [A1, A2, LB]
+            scale_full = jnp.concatenate(
+                [mass[a1, a2][None] for a1, a2 in self.pairs], axis=1
+            )  # [1, P*LB]
+            net_out = net_out * scale_full
             updates = {}
             for idx, (a1, a2) in enumerate(self.pairs):
-                scale = r2_o[a1, a2].sum(0, keepdims=True)  # [1, LB]
-                updates[(a1, a2)] = (
-                    net_out[:, idx * LB : (idx + 1) * LB] * scale
-                )
+                updates[(a1, a2)] = net_out[:, idx * LB : (idx + 1) * LB]
             # Assemble [A1, A2, H, LB] by static stacking (no scatter:
             # Mosaic has no scatter lowering).
             zeros_hlb = jnp.zeros((H, LB), dt)
@@ -303,15 +338,14 @@ class Grid2PallasSolver:
                         cells.append(zeros_hlb)
                 rows.append(jnp.stack(cells, axis=0))  # [A2, H, LB]
             val2 = jnp.stack(rows, axis=0)  # [A1, A2, H, LB]
-            val2 = val2 * m1_mask((A, A, H, LB), 0, 1).astype(dt)
+            val2 = val2 * m1_2d
             return val_liar1, val2
 
         def backup(traverser, S0, S1, val_liar1, val2):
             trav_int = jnp.asarray(traverser, jnp.int32)
             lvl1_is_trav = ((player + 1) % 2 == trav_int)[None, None, :]
             q2 = jnp.swapaxes(val2, 1, 2)  # [A1, H, A2, LB]
-            m1e = m1_mask((A, H, A, LB), 0, 2).astype(dt)
-            v1_strat = (S1 * m1e * q2).sum(2)
+            v1_strat = (S1 * m1e_f * q2).sum(2)
             v1_sum = val2.sum(1)
             V1 = jnp.where(lvl1_is_trav, v1_strat, v1_sum)
             liar_rows = (
@@ -319,13 +353,7 @@ class Grid2PallasSolver:
             )
             V1 = jnp.where(liar_rows, val_liar1[None], V1)
             inc1 = q2 - V1[:, :, None, :]
-            dR1 = jnp.where(
-                lvl1_is_trav[None]
-                & (m1e > 0)
-                & m0_mask((A, H, A, LB), 0),
-                inc1,
-                0.0,
-            )
+            dR1 = jnp.where(lvl1_is_trav[None] & m1eff_b, inc1, 0.0)
             root_is_trav = (player == trav_int)[None, None, :]
             V1_t = jnp.swapaxes(V1, 0, 1)  # [H, A1, LB]
             v0_strat = (S0 * m0f[None] * V1_t).sum(1)
@@ -404,10 +432,7 @@ class Grid2PallasSolver:
                 sum0,
             )
 
-            m1eff = (
-                m1_mask((A, H, A, LB), 0, 2) & m0_mask((A, H, A, LB), 0)
-            ).astype(dt)
-            f1 = jnp.maximum(regrets1, eps_regret) * m1eff
+            f1 = jnp.maximum(regrets1, eps_regret) * m1eff_f
             d1 = f1.sum(2, keepdims=True)
             matched1 = f1 / jnp.where(d1 > 0, d1, 1.0)
             last1 = jnp.where(lvl1_is_trav[None], matched1, last1)
@@ -428,13 +453,10 @@ class Grid2PallasSolver:
             (regrets0, sum0, last0, regrets1, sum1, last1, rvm,
              snap0, snap1) = carry
             traverser = it % 2
-            m1eff = (
-                m1_mask((A, H, A, LB), 0, 2) & m0_mask((A, H, A, LB), 0)
-            ).astype(dt)
 
             def navg(n0, n1):
                 nn0 = n0 * m0f[None]
-                nn1 = n1 * m1eff
+                nn1 = n1 * m1eff_f
                 dd0 = nn0.sum(1, keepdims=True)
                 dd1 = nn1.sum(2, keepdims=True)
                 return (
@@ -458,7 +480,7 @@ class Grid2PallasSolver:
             neg = jnp.asarray(-1e30, dt)
 
             q2 = jnp.swapaxes(val2, 1, 2)  # [A1, H, A2, LB]
-            m1b = (m1eff > 0)
+            m1b = m1eff_b
             masked2 = jnp.where(m1b, q2, neg)
             vmax2 = masked2.max(2, keepdims=True)
             # First-occurrence one-hot via a static unrolled scan over the
@@ -544,11 +566,8 @@ class Grid2PallasSolver:
         if p.use_cfr:
             fin0, fin1 = last0, last1
         else:
-            m1eff = (
-                m1_mask((A, H, A, LB), 0, 2) & m0_mask((A, H, A, LB), 0)
-            ).astype(dt)
             n0 = (sum0 + (last0 if p.optimistic else 0.0)) * m0f[None]
-            n1 = (sum1 + (last1 if p.optimistic else 0.0)) * m1eff
+            n1 = (sum1 + (last1 if p.optimistic else 0.0)) * m1eff_f
             d0 = n0.sum(1, keepdims=True)
             d1 = n1.sum(2, keepdims=True)
             fin0 = n0 / jnp.where(d0 > 0, d0, 1.0)

@@ -108,3 +108,59 @@ def test_sampled_recursive_strategy_quality():
     ctx = full_tree_context(game, DT)
     e = compute_exploitability(ctx, strategy)
     assert 0.0 <= e < 1.0
+
+
+def test_batched_sampled_strategies_match_sequential():
+    """The lockstep multi-repeat recursion (grid2 frontier engine) must
+    reproduce the sequential per-seed recursion (supertree engine) lane
+    for lane: same RNG draw order, cross-engine solver equality."""
+    from rebel_tpu.eval.recursive import (
+        compute_sampled_strategies_to_leaf_batch,
+    )
+
+    game = LiarsDice(num_dice=1, num_faces=4)
+    params = SubgameSolvingParams(
+        num_iters=16, max_depth=2, linear_update=True, use_cfr=True
+    )
+    vf = zero_value_fn(game)
+    seeds = [0, 1, 2]
+    batch = compute_sampled_strategies_to_leaf_batch(
+        game, params, vf, seeds, dtype=DT
+    )
+    full = unroll_tree(game)
+    nonterm = ~full.is_terminal
+    for r, seed in enumerate(seeds):
+        seq = compute_sampled_strategy_recursive_to_leaf(
+            game, params, vf, seed=seed, dtype=DT
+        )
+        np.testing.assert_allclose(
+            batch[r][nonterm], seq[nonterm], atol=1e-9
+        )
+
+
+def test_batched_sampled_eval_matches_sequential():
+    """sampled_eval(batched=True) == sampled_eval(batched=False) at the
+    report level (exploitability / EV per power-of-2 repeat count)."""
+    from rebel_tpu.eval.recursive_eval import full_solve, sampled_eval
+
+    game = LiarsDice(num_dice=1, num_faces=3)
+    params = SubgameSolvingParams(
+        num_iters=16, max_depth=2, linear_update=True, use_cfr=False
+    )
+    vf = zero_value_fn(game)
+    full_strategy, _, _ = full_solve(game, params, DT, progress=False)
+    fin_b, rep_b = sampled_eval(
+        game, params, vf, 4, full_strategy, dtype=DT, progress=False,
+        batched=True,
+    )
+    fin_s, rep_s = sampled_eval(
+        game, params, vf, 4, full_strategy, dtype=DT, progress=False,
+        batched=False,
+    )
+    assert [r["repeats"] for r in rep_b] == [r["repeats"] for r in rep_s]
+    for rb, rs in zip(rep_b, rep_s):
+        np.testing.assert_allclose(
+            rb["exploitability"], rs["exploitability"], atol=1e-6
+        )
+        np.testing.assert_allclose(rb["ev_full"], rs["ev_full"], atol=1e-6)
+    np.testing.assert_allclose(fin_b, fin_s, atol=1e-5)
