@@ -1,9 +1,13 @@
-"""Fast self-play engine for the production depth-2 configuration.
+"""Fast self-play engines for the production depth-2 configuration.
 
 Same semantics as :class:`rebel_tpu.selfplay.runner.SelfPlayEngine` (the
 lockstep batched ``RlRunner``) but built on the gather-free action-grid
-solver :class:`rebel_tpu.solving.grid2.Grid2Solver`.  The depth-2 walk
-unrolls to exactly two sampling steps.
+solvers.  Three engines share one solve→walk structure and one episode
+walk implementation (:func:`walk_lane`):
+
+* ``FastSelfPlayEngine`` — vmapped batch-first grid2 solve;
+* ``FastBatchedEngine``  — batch-last (lane-dim) grid2b solve;
+* ``FastPallasEngine``   — the whole solve fused into one Pallas kernel.
 """
 
 from __future__ import annotations
@@ -18,9 +22,105 @@ from rebel_tpu.solving.core import RootCtx, ValueFn, normalize_safe, reach_eps
 from rebel_tpu.solving.grid2 import Grid2Solver
 from rebel_tpu.selfplay.runner import (
     EpisodeState,
-    RecursiveSolvingParams,
     StepOutput,
+    RecursiveSolvingParams,
 )
+
+
+def root_query(game: LiarsDice, dtype, beliefs, traverser, root: RootCtx):
+    """The value-net query for the episode's root PBS
+    (subgame_solving.cc:100-123)."""
+    eps = reach_eps(dtype)
+    onehot = (jnp.arange(game.num_actions) == root.bid).astype(dtype)
+    return jnp.concatenate(
+        [
+            jnp.asarray(root.player, dtype)[None],
+            jnp.asarray(traverser, dtype)[None],
+            onehot,
+            normalize_safe(beliefs[0].astype(dtype), eps),
+            normalize_safe(beliefs[1].astype(dtype), eps),
+        ]
+    )
+
+
+def sample_action(cfg: RecursiveSolvingParams, key, policy_row, mask,
+                  bel_actor, explore_ok):
+    """One reference-style action draw: with prob random_action_prob (for
+    the BR-sampled player) uniform over legal actions, else hand ~
+    beliefs then action ~ policy[hand] (recursive_solving.cc:202-216)."""
+    k_eps, k_uni, k_hand, k_act = jax.random.split(key, 4)
+    explore = explore_ok & (
+        jax.random.uniform(k_eps) < cfg.random_action_prob
+    )
+    a_uniform = jax.random.categorical(
+        k_uni, jnp.where(mask, 0.0, -jnp.inf)
+    )
+    hand = jax.random.categorical(k_hand, jnp.log(bel_actor))
+    a_policy = jax.random.categorical(k_act, jnp.log(policy_row[hand]))
+    return jnp.where(explore, a_uniform, a_policy).astype(jnp.int32)
+
+
+def walk_lane(cfg: RecursiveSolvingParams, dtype, ep: EpisodeState,
+              key: jax.Array, p0_l, p1_l, vals):
+    """One lane's episode advance given its solved subgame policies.
+
+    The depth-2 walk unrolls to exactly two sampling steps with Bayes
+    belief updates (recursive_solving.cc:192-246); ``key`` is consumed
+    with the same split pattern as the solve side (slot 0 is the solve
+    key), so all engines draw identical actions for identical policies.
+    Shared by every fast engine — the single implementation of the
+    sample-walk block.
+    """
+    game = cfg.game
+    _, k_br, k_a1, k_a2 = jax.random.split(key, 4)
+    root_l = RootCtx.of(game, ep.root_bid, ep.root_player)
+    queries = jnp.stack(
+        [
+            root_query(game, dtype, ep.beliefs, jnp.int32(0), root_l),
+            root_query(game, dtype, ep.beliefs, jnp.int32(1), root_l),
+        ]
+    )
+    liar = game.liar_call
+    eps_reach = reach_eps(dtype)
+    br_sampler = jax.random.randint(k_br, (), 0, 2)
+    beliefs = ep.beliefs
+
+    # --- step 1: root actor acts.
+    actor0 = root_l.player
+    a1 = sample_action(
+        cfg, k_a1, p0_l, root_l.mask, beliefs[actor0], actor0 == br_sampler
+    )
+    new_row = normalize_safe(beliefs[actor0] * p0_l[:, a1], eps_reach)
+    beliefs = beliefs.at[actor0].set(new_row)
+    done1 = a1 == liar
+
+    if cfg.sample_leaf:
+        # --- step 2: level-1 actor acts (unless liar ended it).
+        actor1 = (root_l.player + 1) % 2
+        m1_row = (jnp.arange(game.num_actions) > a1) & (a1 != liar)
+        a2 = sample_action(
+            cfg, k_a2, p1_l[a1], m1_row, beliefs[actor1],
+            actor1 == br_sampler,
+        )
+        row2 = normalize_safe(beliefs[actor1] * p1_l[a1, :, a2], eps_reach)
+        beliefs = jnp.where(done1, beliefs, beliefs.at[actor1].set(row2))
+        new_bid = jnp.where(done1, a1, a2).astype(jnp.int32)
+        new_player = jnp.where(done1, actor1, root_l.player).astype(
+            jnp.int32
+        )
+        ended = done1 | (a2 == liar)
+    else:
+        new_bid = a1
+        new_player = (1 - root_l.player).astype(jnp.int32)
+        ended = done1
+
+    fresh = EpisodeState.initial(game, dtype)
+    new_ep = EpisodeState(
+        root_bid=jnp.where(ended, fresh.root_bid, new_bid),
+        root_player=jnp.where(ended, fresh.root_player, new_player),
+        beliefs=jnp.where(ended, fresh.beliefs, beliefs),
+    )
+    return new_ep, StepOutput(queries=queries, values=vals, ended=ended)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -42,20 +142,6 @@ class FastSelfPlayEngine:
             params=self.cfg.subgame_params,
             dtype=self.dtype,
             value_fn=value_fn,
-        )
-
-    def _root_query(self, beliefs, traverser, root: RootCtx):
-        dt = self.dtype
-        eps = reach_eps(dt)
-        onehot = (jnp.arange(self.game.num_actions) == root.bid).astype(dt)
-        return jnp.concatenate(
-            [
-                jnp.asarray(root.player, dt)[None],
-                jnp.asarray(traverser, dt)[None],
-                onehot,
-                normalize_safe(beliefs[0].astype(dt), eps),
-                normalize_safe(beliefs[1].astype(dt), eps),
-            ]
         )
 
     def _solve_with_snapshot(self, root, beliefs, key, value_fn):
@@ -83,82 +169,17 @@ class FastSelfPlayEngine:
         )
         return state, snap
 
-    def _sample_action(self, key, policy_row, mask, bel_actor, explore_ok):
-        """One reference-style action draw: with prob random_action_prob
-        (for the BR-sampled player) uniform over legal actions, else
-        hand ~ beliefs then action ~ policy[hand]
-        (recursive_solving.cc:202-216)."""
-        k_eps, k_uni, k_hand, k_act = jax.random.split(key, 4)
-        explore = explore_ok & (
-            jax.random.uniform(k_eps) < self.cfg.random_action_prob
-        )
-        a_uniform = jax.random.categorical(
-            k_uni, jnp.where(mask, 0.0, -jnp.inf)
-        )
-        hand = jax.random.categorical(k_hand, jnp.log(bel_actor))
-        a_policy = jax.random.categorical(k_act, jnp.log(policy_row[hand]))
-        return jnp.where(explore, a_uniform, a_policy).astype(jnp.int32)
-
     def step(
         self, ep: EpisodeState, key: jax.Array, value_fn: ValueFn | None
     ) -> tuple[EpisodeState, StepOutput]:
-        game = self.game
-        dt = self.dtype
-        eps_reach = reach_eps(dt)
-        liar = game.liar_call
-        k_solve, k_br, k_a1, k_a2 = jax.random.split(key, 4)
-        root = RootCtx.of(game, ep.root_bid, ep.root_player)
-
+        k_solve = jax.random.split(key, 4)[0]
+        root = RootCtx.of(self.game, ep.root_bid, ep.root_player)
         state, (p0, p1) = self._solve_with_snapshot(
             root, ep.beliefs, k_solve, value_fn
         )
-
-        queries = jnp.stack(
-            [
-                self._root_query(ep.beliefs, jnp.int32(0), root),
-                self._root_query(ep.beliefs, jnp.int32(1), root),
-            ]
+        return walk_lane(
+            self.cfg, self.dtype, ep, key, p0, p1, state.root_values_means
         )
-        values = state.root_values_means
-
-        br_sampler = jax.random.randint(k_br, (), 0, 2)
-        beliefs = ep.beliefs
-
-        # --- step 1: root actor acts.
-        actor0 = root.player
-        a1 = self._sample_action(
-            k_a1, p0, root.mask, beliefs[actor0], actor0 == br_sampler
-        )
-        new_row = normalize_safe(beliefs[actor0] * p0[:, a1], eps_reach)
-        beliefs = beliefs.at[actor0].set(new_row)
-        done1 = a1 == liar
-
-        if self.cfg.sample_leaf:
-            # --- step 2: level-1 actor acts (unless liar ended it).
-            actor1 = (root.player + 1) % 2
-            m1_row = (jnp.arange(game.num_actions) > a1) & (a1 != liar)
-            a2 = self._sample_action(
-                k_a2, p1[a1], m1_row, beliefs[actor1], actor1 == br_sampler
-            )
-            row2 = normalize_safe(beliefs[actor1] * p1[a1, :, a2], eps_reach)
-            beliefs = jnp.where(
-                done1, beliefs, beliefs.at[actor1].set(row2)
-            )
-            new_bid = jnp.where(done1, a1, a2).astype(jnp.int32)
-            new_player = jnp.where(done1, actor1, root.player).astype(jnp.int32)
-            ended = done1 | (a2 == liar)
-        else:
-            new_bid = a1
-            new_player = (1 - root.player).astype(jnp.int32)
-            ended = done1
-
-        fresh = EpisodeState.initial(game, dt)
-        new_ep = EpisodeState(
-            root_bid=jnp.where(ended, fresh.root_bid, new_bid),
-            root_player=jnp.where(ended, fresh.root_player, new_player),
-            beliefs=jnp.where(ended, fresh.beliefs, beliefs),
-        )
-        return new_ep, StepOutput(queries=queries, values=values, ended=ended)
 
     def batch_step(self, eps: EpisodeState, keys: jax.Array, value_fn):
         return jax.vmap(lambda e, k: self.step(e, k, value_fn))(eps, keys)
@@ -221,7 +242,6 @@ class FastBatchedEngine:
 
         game = self.game
         sub = self.cfg.subgame_params
-        B = keys.shape[0]
         solver = Grid2BatchSolver(
             game=game,
             params=sub,
@@ -261,64 +281,11 @@ class FastBatchedEngine:
         p1 = jnp.moveaxis(s1, -1, 0)  # [B, A, H, A]
         values = jnp.moveaxis(state.root_values_means, -1, 0)  # [B, 2, H]
 
-        walker = FastSelfPlayEngine(cfg=self.cfg, dtype=self.dtype)
-
-        def per_lane(ep, key, p0_l, p1_l, vals):
-            _, k_br, k_a1, k_a2 = jax.random.split(key, 4)
-            from rebel_tpu.solving.core import RootCtx
-
-            root_l = RootCtx.of(game, ep.root_bid, ep.root_player)
-            queries = jnp.stack(
-                [
-                    walker._root_query(ep.beliefs, jnp.int32(0), root_l),
-                    walker._root_query(ep.beliefs, jnp.int32(1), root_l),
-                ]
+        return jax.vmap(
+            lambda e, k, q0, q1, v: walk_lane(
+                self.cfg, self.dtype, e, k, q0, q1, v
             )
-            liar = game.liar_call
-            eps_reach = reach_eps(self.dtype)
-            br_sampler = jax.random.randint(k_br, (), 0, 2)
-            beliefs = ep.beliefs
-            actor0 = root_l.player
-            a1 = walker._sample_action(
-                k_a1, p0_l, root_l.mask, beliefs[actor0],
-                actor0 == br_sampler,
-            )
-            row = normalize_safe(beliefs[actor0] * p0_l[:, a1], eps_reach)
-            beliefs = beliefs.at[actor0].set(row)
-            done1 = a1 == liar
-            if self.cfg.sample_leaf:
-                actor1 = (root_l.player + 1) % 2
-                m1_row = (jnp.arange(game.num_actions) > a1) & (a1 != liar)
-                a2 = walker._sample_action(
-                    k_a2, p1_l[a1], m1_row, beliefs[actor1],
-                    actor1 == br_sampler,
-                )
-                row2 = normalize_safe(
-                    beliefs[actor1] * p1_l[a1, :, a2], eps_reach
-                )
-                beliefs = jnp.where(
-                    done1, beliefs, beliefs.at[actor1].set(row2)
-                )
-                new_bid = jnp.where(done1, a1, a2).astype(jnp.int32)
-                new_player = jnp.where(
-                    done1, actor1, root_l.player
-                ).astype(jnp.int32)
-                ended = done1 | (a2 == liar)
-            else:
-                new_bid = a1
-                new_player = (1 - root_l.player).astype(jnp.int32)
-                ended = done1
-            fresh = EpisodeState.initial(game, self.dtype)
-            new_ep = EpisodeState(
-                root_bid=jnp.where(ended, fresh.root_bid, new_bid),
-                root_player=jnp.where(ended, fresh.root_player, new_player),
-                beliefs=jnp.where(ended, fresh.beliefs, beliefs),
-            )
-            return new_ep, StepOutput(
-                queries=queries, values=vals, ended=ended
-            )
-
-        return jax.vmap(per_lane)(eps, keys, p0, p1, values)
+        )(eps, keys, p0, p1, values)
 
 
 @dataclasses.dataclass(frozen=True, eq=False)
@@ -326,10 +293,7 @@ class FastPallasEngine:
     """Self-play engine whose whole subgame solve (state + terminal
     operator + CFV MLP, all ``num_iters`` iterations) runs inside one
     Pallas TPU kernel per block of lanes
-    (:class:`rebel_tpu.solving.grid2p.Grid2PallasSolver`).
-
-    Both solver families compile and run on TPU (CFR 5.5M and FP 5.7M
-    subgame-iters/s per v5e chip at the production 1x4f configuration)."""
+    (:class:`rebel_tpu.solving.grid2p.Grid2PallasSolver`)."""
 
     cfg: RecursiveSolvingParams
     dtype: jnp.dtype = jnp.float32
@@ -347,11 +311,10 @@ class FastPallasEngine:
     def batch_step(self, eps: EpisodeState, keys: jax.Array, net_params):
         from rebel_tpu.solving.grid2p import Grid2PallasSolver
 
-        game = self.game
         sub = self.cfg.subgame_params
         B = keys.shape[0]
         solver = Grid2PallasSolver(
-            game=game,
+            game=self.game,
             params=sub,
             lane_block=min(self.lane_block, B),
             net_compute_dtype=self.net_compute_dtype,
@@ -365,64 +328,8 @@ class FastPallasEngine:
         out = solver.solve(
             eps.root_bid, eps.root_player, eps.beliefs, t, net_params
         )
-
-        walker = FastSelfPlayEngine(cfg=self.cfg, dtype=self.dtype)
-
-        def per_lane(ep, key, p0_l, p1_l, vals):
-            _, k_br, k_a1, k_a2 = jax.random.split(key, 4)
-            from rebel_tpu.solving.core import RootCtx
-
-            root_l = RootCtx.of(game, ep.root_bid, ep.root_player)
-            queries = jnp.stack(
-                [
-                    walker._root_query(ep.beliefs, jnp.int32(0), root_l),
-                    walker._root_query(ep.beliefs, jnp.int32(1), root_l),
-                ]
+        return jax.vmap(
+            lambda e, k, q0, q1, v: walk_lane(
+                self.cfg, self.dtype, e, k, q0, q1, v
             )
-            liar = game.liar_call
-            eps_reach = reach_eps(self.dtype)
-            br_sampler = jax.random.randint(k_br, (), 0, 2)
-            beliefs = ep.beliefs
-            actor0 = root_l.player
-            a1 = walker._sample_action(
-                k_a1, p0_l, root_l.mask, beliefs[actor0],
-                actor0 == br_sampler,
-            )
-            row = normalize_safe(beliefs[actor0] * p0_l[:, a1], eps_reach)
-            beliefs = beliefs.at[actor0].set(row)
-            done1 = a1 == liar
-            if self.cfg.sample_leaf:
-                actor1 = (root_l.player + 1) % 2
-                m1_row = (jnp.arange(game.num_actions) > a1) & (a1 != liar)
-                a2 = walker._sample_action(
-                    k_a2, p1_l[a1], m1_row, beliefs[actor1],
-                    actor1 == br_sampler,
-                )
-                row2 = normalize_safe(
-                    beliefs[actor1] * p1_l[a1, :, a2], eps_reach
-                )
-                beliefs = jnp.where(
-                    done1, beliefs, beliefs.at[actor1].set(row2)
-                )
-                new_bid = jnp.where(done1, a1, a2).astype(jnp.int32)
-                new_player = jnp.where(
-                    done1, actor1, root_l.player
-                ).astype(jnp.int32)
-                ended = done1 | (a2 == liar)
-            else:
-                new_bid = a1
-                new_player = (1 - root_l.player).astype(jnp.int32)
-                ended = done1
-            fresh = EpisodeState.initial(game, self.dtype)
-            new_ep = EpisodeState(
-                root_bid=jnp.where(ended, fresh.root_bid, new_bid),
-                root_player=jnp.where(ended, fresh.root_player, new_player),
-                beliefs=jnp.where(ended, fresh.beliefs, beliefs),
-            )
-            return new_ep, StepOutput(
-                queries=queries, values=vals, ended=ended
-            )
-
-        return jax.vmap(per_lane)(
-            eps, keys, out.snap0, out.snap1, out.rvm
-        )
+        )(eps, keys, out.snap0, out.snap1, out.rvm)

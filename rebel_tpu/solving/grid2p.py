@@ -181,7 +181,13 @@ class Grid2PallasSolver:
                 )
             )
             erf_abs = 1.0 - poly * jnp.exp(-az * az)
-            erf = jnp.sign(z) * erf_abs
+            if x.dtype == jnp.float32:
+                sgn = jnp.sign(z)
+            else:
+                # Neither 16-bit vector comparisons nor bf16 rsqrt lower
+                # on this target: take the sign in f32 and cast back.
+                sgn = jnp.sign(z.astype(jnp.float32)).astype(z.dtype)
+            erf = sgn * erf_abs
             return x * 0.5 * (1.0 + erf)
 
         # Net params read + cast ONCE (hoisted; per-iteration re-reads
@@ -194,15 +200,17 @@ class Grid2PallasSolver:
             for _ in range(n_layers):
                 W, b, scale, bias = net_param_list[i : i + 4]
                 i += 4
+                # NB: reshape/transpose in 32-bit, cast last — Mosaic
+                # does not lower minor-dim inserts on 16-bit types.
                 net_consts.append((
-                    W[...].astype(cdt).T,
+                    W[...].T.astype(cdt),
                     b[...].astype(jnp.float32)[:, None],
-                    scale[...].astype(cdt)[:, None],
-                    bias[...].astype(cdt)[:, None],
+                    scale[...][:, None].astype(cdt),
+                    bias[...][:, None].astype(cdt),
                 ))
             W, b = net_param_list[i : i + 2]
             head_consts = (
-                W[...].astype(cdt).T,
+                W[...].T.astype(cdt),
                 b[...].astype(jnp.float32)[:, None],
             )
 
@@ -291,13 +299,15 @@ class Grid2PallasSolver:
                 x = x + eps_reach
                 return x / x.sum(2, keepdims=True)
 
-            b0T = jnp.moveaxis(norm_grid(r2_0), 2, 0)  # [H, A1, A2, LB]
-            b1T = jnp.moveaxis(norm_grid(r2_1), 2, 0)
+            # Slice pair cells at *major* dims only ([a1, a2] leading):
+            # Mosaic concat requires matching sublane offsets.
+            b0g = norm_grid(r2_0)  # [A1, A2, H, LB]
+            b1g = norm_grid(r2_1)
             b0_full = jnp.concatenate(
-                [b0T[:, a1, a2] for a1, a2 in self.pairs], axis=1
+                [b0g[a1, a2] for a1, a2 in self.pairs], axis=1
             )  # [H, P*LB]
             b1_full = jnp.concatenate(
-                [b1T[:, a1, a2] for a1, a2 in self.pairs], axis=1
+                [b1g[a1, a2] for a1, a2 in self.pairs], axis=1
             )
             trow_full = jnp.broadcast_to(
                 jnp.asarray(traverser, dt)[None, None], (1, P * LB)
@@ -315,9 +325,9 @@ class Grid2PallasSolver:
             net_out = jnp.concatenate(outs, axis=1)  # [H, P*LB]
 
             # Counterfactual rescale: opponent reach mass per leaf.
-            mass = r2_o.sum(2)  # [A1, A2, LB]
+            mass = r2_o.sum(2, keepdims=True)  # [A1, A2, 1, LB]
             scale_full = jnp.concatenate(
-                [mass[a1, a2][None] for a1, a2 in self.pairs], axis=1
+                [mass[a1, a2] for a1, a2 in self.pairs], axis=1
             )  # [1, P*LB]
             net_out = net_out * scale_full
             updates = {}
