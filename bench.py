@@ -40,7 +40,8 @@ REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.j
 
 def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
             layout: str = "batch_last", no_net: bool = False,
-            lane_block: int = 128, mlp_chunks: int = 1):
+            lane_block: int = 128, mlp_chunks: int = 1,
+            ablate: str = "", gelu: str = "auto"):
     from rebel_tpu.nets.cfv_net import CFVNetSpec
     from rebel_tpu.selfplay.fast_runner import FastBatchedEngine, make_engine
     from rebel_tpu.selfplay.runner import EpisodeState, RecursiveSolvingParams
@@ -65,7 +66,8 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
 
         engine = FastPallasEngine(
             cfg=cfg, dtype=jnp.float32, net_compute_dtype=spec_dtype,
-            lane_block=lane_block, mlp_chunks=mlp_chunks,
+            lane_block=lane_block, mlp_chunks=mlp_chunks, ablate=ablate,
+            gelu=gelu,
         )
     else:
         engine = make_engine(cfg, dtype=jnp.float32)
@@ -135,6 +137,12 @@ def main():
                     help="diagnostic: solver-only (MLP elided)")
     ap.add_argument("--lane-block", type=int, default=128)
     ap.add_argument("--mlp-chunks", type=int, default=1)
+    ap.add_argument("--ablate", default="",
+                    choices=("", "nogelu", "noln", "cheaperf"),
+                    help="kernel perf diagnostics (see Grid2PallasSolver)")
+    ap.add_argument("--gelu", default="auto",
+                    choices=("auto", "exact", "fast"),
+                    help="GELU policy for the pallas fast path")
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.num_iters, args.steps = 64, 32, 2
@@ -155,7 +163,8 @@ def main():
                 f"per_second {total_items / elapsed:.2f}"
             )
     kw = dict(no_net=args.no_net, lane_block=args.lane_block,
-              mlp_chunks=args.mlp_chunks)
+              mlp_chunks=args.mlp_chunks, ablate=args.ablate,
+              gelu=args.gelu)
     try:
         res = measure(
             args.batch, args.num_iters, args.steps, layout=args.layout, **kw

@@ -170,7 +170,11 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         "train_gen_ratio",
         "max_epochs",
         "exploit",
+        "exploit_every",
         "eval_mse",
+        "eval_num_repeats",
+        "checkpoint_every",
+        "keep_checkpoints",
         "create_validation_set_every",
         "dump_dataset_every_epochs",
         "purging_epochs",

@@ -172,7 +172,7 @@ def sampled_eval(
     params: SubgameSolvingParams,
     value_fn: ValueFn | None,
     num_repeats: int,
-    full_strategy: np.ndarray,
+    full_strategy: np.ndarray | None,
     mdp_depth: int = 2,
     dtype=jnp.float64,
     progress: bool = True,
@@ -238,22 +238,24 @@ def sampled_eval(
         if (done & (done - 1)) == 0 or done == num_repeats:
             final = summed_strategy / (summed_reach + 1e-6)
             e0, e1 = compute_exploitability2(ctx, final)
-            ev0, ev1 = compute_ev2(ctx, full_strategy, final)
-            reports.append(
-                {
-                    "repeats": done,
-                    "e0": e0,
-                    "e1": e1,
-                    "exploitability": (e0 + e1) / 2,
-                    "ev_full_0": ev0,
-                    "ev_full_1": ev1,
-                    "ev_full": (ev0 + ev1) / 2,
-                }
-            )
+            report = {
+                "repeats": done,
+                "e0": e0,
+                "e1": e1,
+                "exploitability": (e0 + e1) / 2,
+            }
+            if full_strategy is not None:
+                ev0, ev1 = compute_ev2(ctx, full_strategy, final)
+                report.update(
+                    ev_full_0=ev0, ev_full_1=ev1, ev_full=(ev0 + ev1) / 2
+                )
+            reports.append(report)
             if progress:
                 log.info(
-                    "%5d: %.6g (%.6g,%.6g)\tEV of full: %.6g",
-                    done, (e0 + e1) / 2, e0, e1, (ev0 + ev1) / 2,
+                    "%5d: %.6g (%.6g,%.6g)\tEV of full: %s",
+                    done, (e0 + e1) / 2, e0, e1,
+                    "%.6g" % report["ev_full"]
+                    if full_strategy is not None else "-",
                 )
     final = summed_strategy / (summed_reach + 1e-6)
     return final, reports

@@ -300,6 +300,8 @@ class FastPallasEngine:
     lane_block: int = 128
     net_compute_dtype: jnp.dtype = jnp.float32
     mlp_chunks: int = 1
+    gelu: str = "auto"
+    ablate: str = ""
     interpret: bool = False
 
     wants_params = True
@@ -319,6 +321,8 @@ class FastPallasEngine:
             lane_block=min(self.lane_block, B),
             net_compute_dtype=self.net_compute_dtype,
             mlp_chunks=self.mlp_chunks,
+            gelu=self.gelu,
+            ablate=self.ablate,
             interpret=self.interpret,
         )
         k_solve = jax.vmap(lambda k: jax.random.split(k, 4)[0])(keys)

@@ -53,6 +53,15 @@ class Grid2PallasSolver:
     # Split the per-iteration MLP batch into column chunks to cap live
     # activation VMEM ([256, P*LB/chunks] at a time); results identical.
     mlp_chunks: int = 1
+    # GELU policy: "auto" = polynomial fast GELU on the bf16 fast path
+    # (|gelu err| < 1.8e-3, below bf16 matmul rounding), exact A&S erf
+    # GELU when computing in f32 (the parity path); "exact"/"fast"
+    # force either.
+    gelu: str = "auto"
+    # Perf-diagnosis knob (bench.py --ablate): "nogelu" (identity
+    # activation), "noln" (skip LayerNorm statistics), "cheaperf"
+    # (force the fast polynomial GELU).  "" = follow ``gelu``.
+    ablate: str = ""
     interpret: bool = False
 
     def __post_init__(self):
@@ -181,14 +190,48 @@ class Grid2PallasSolver:
                 )
             )
             erf_abs = 1.0 - poly * jnp.exp(-az * az)
-            if x.dtype == jnp.float32:
-                sgn = jnp.sign(z)
-            else:
-                # Neither 16-bit vector comparisons nor bf16 rsqrt lower
-                # on this target: take the sign in f32 and cast back.
-                sgn = jnp.sign(z.astype(jnp.float32)).astype(z.dtype)
-            erf = sgn * erf_abs
+            erf = jnp.sign(z) * erf_abs
             return x * 0.5 * (1.0 + erf)
+
+        def gelu_cheap(x):
+            """GELU with erf(z) ~ clip(z)*poly6(z^2) (pure FMA chain, no
+            exp/div/sign; |gelu err| < 1.8e-3 — below the bf16 matmul
+            noise already accepted on the fast path)."""
+            z = x * jnp.asarray(0.7071067811865476, x.dtype)
+            z = jnp.clip(z, -2.4, 2.4)
+            u = z * z
+            poly = 1.1283452779263845 + u * (
+                -0.37547712975483916
+                + u
+                * (
+                    0.11078739955649257
+                    + u
+                    * (
+                        -0.024381732600758942
+                        + u
+                        * (
+                            0.0037230956091636926
+                            + u
+                            * (
+                                -0.00034346830302456875
+                                + u * 1.40787036032954e-05
+                            )
+                        )
+                    )
+                )
+            )
+            # x * (0.5 + 0.5*(z*poly)): mul + FMA + mul epilogue.
+            return x * (0.5 + 0.5 * (z * poly))
+
+        if self.ablate == "nogelu":
+            act = lambda x: x
+        elif self.ablate == "cheaperf" or self.gelu == "fast" or (
+            self.gelu == "auto"
+            and self.net_compute_dtype == jnp.bfloat16
+        ):
+            act = gelu_cheap
+        else:
+            act = gelu_erf
 
         # Net params read + cast ONCE (hoisted; per-iteration re-reads
         # and f32->bf16 casts of the weights are pure VPU waste).
@@ -200,13 +243,13 @@ class Grid2PallasSolver:
             for _ in range(n_layers):
                 W, b, scale, bias = net_param_list[i : i + 4]
                 i += 4
-                # NB: reshape/transpose in 32-bit, cast last — Mosaic
-                # does not lower minor-dim inserts on 16-bit types.
+                # NB: transpose in 32-bit, cast last — Mosaic does not
+                # lower several 16-bit relayout ops.
                 net_consts.append((
                     W[...].T.astype(cdt),
                     b[...].astype(jnp.float32)[:, None],
-                    scale[...][:, None].astype(cdt),
-                    bias[...][:, None].astype(cdt),
+                    scale[...].astype(jnp.float32)[:, None],
+                    bias[...].astype(jnp.float32)[:, None],
                 ))
             W, b = net_param_list[i : i + 2]
             head_consts = (
@@ -217,26 +260,45 @@ class Grid2PallasSolver:
         def mlp(x):
             """x [Q, N] -> [H, N] via the CFVNet params (transposed).
 
-            Matmul inputs in cdt (bf16 on the fast path) with f32 MXU
-            accumulators.  LayerNorm statistics stay f32; the affine +
-            GELU run in cdt (exact for f32; at bf16 the activation
-            noise is below the bf16 matmul rounding already accepted).
+            Matmul inputs in cdt (bf16 rides the MXU natively) with f32
+            accumulators; ALL elementwise math (LayerNorm, GELU) stays
+            f32 — this target's VPU has no native 16-bit arithmetic, so
+            bf16 elementwise would be emulated with per-op converts and
+            is measurably slower.
             """
             if not net_param_list:
                 return jnp.zeros((H, x.shape[1]), dt)
-            x = x.astype(cdt)
             for W_t, b_col, scale_col, bias_col in net_consts:
                 x = (
-                    jnp.dot(W_t, x, preferred_element_type=jnp.float32)
+                    jnp.dot(
+                        W_t, x.astype(cdt),
+                        preferred_element_type=jnp.float32,
+                    )
                     + b_col
                 )
-                mu = x.mean(axis=0, keepdims=True)
-                var = ((x - mu) ** 2).mean(axis=0, keepdims=True)
-                x = ((x - mu) * jax.lax.rsqrt(var + 1e-6)).astype(cdt)
+                if self.ablate != "noln":
+                    # One-pass LN: mean and E[x^2] reduced together,
+                    # normalize+affine as two per-element FMAs
+                    # (x*r - mu*r, then *scale + bias).  Same math as
+                    # (x-mu)/sqrt(var+eps) modulo f32 reassociation —
+                    # activations are O(1-10) over 256 rows, so the
+                    # E[x^2]-mu^2 cancellation is far below the 1e-5
+                    # parity tolerance.
+                    inv_n = 1.0 / x.shape[0]
+                    mu = x.sum(axis=0, keepdims=True) * inv_n
+                    ex2 = (x * x).sum(axis=0, keepdims=True) * inv_n
+                    var = jnp.maximum(ex2 - mu * mu, 0.0)
+                    r = jax.lax.rsqrt(var + 1e-6)
+                    x = x * r - mu * r
                 x = x * scale_col + bias_col
-                x = gelu_erf(x)
+                x = act(x)
             W_t, b_col = head_consts
-            x = jnp.dot(W_t, x, preferred_element_type=jnp.float32) + b_col
+            x = (
+                jnp.dot(
+                    W_t, x.astype(cdt), preferred_element_type=jnp.float32
+                )
+                + b_col
+            )
             return x.astype(dt)
 
         P = self.pairs.shape[0]
@@ -658,6 +720,13 @@ class Grid2PallasSolver:
                 jax.ShapeDtypeStruct((2, H, B), jnp.float32),
                 jax.ShapeDtypeStruct((H, A, B), jnp.float32),
                 jax.ShapeDtypeStruct((A, H, A, B), jnp.float32),
+            ),
+            # The default scoped-vmem limit is 16 MiB; v5e has 128 MiB
+            # of physical VMEM.  The fused loop keeps solver state,
+            # hoisted masks, net weights and MLP activations resident,
+            # so raise the cap (also unlocks lane_block > 128).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=self.interpret,
         )(

@@ -433,6 +433,134 @@ class Trainer:
         )
         return state._replace(episodes=episodes, replay=replay, key=key)
 
+    # -------------------------------------------------- SPMD epoch loop
+    def run_spmd(self, mesh=None, max_epochs=None, resume=True):
+        """Epoch loop over the shard_map SPMD programs
+        (rebel_tpu.parallel.mesh): self-play lanes and replay rows
+        sharded over the mesh's data axis, grads psum'd, params
+        replicated.  Works on one process with many devices and on a
+        jax.distributed multi-process runtime (one process per host,
+        launched by rebel_tpu.parallel.launcher); every process runs
+        this same loop, host-side control flow driven by replicated
+        scalars so all processes stay in lockstep.
+
+        Checkpoints (params + opt state + epoch; master only) land in
+        ``ckpt/epoch<N>.spmd.ckpt`` and are reloaded on ``resume``.
+        """
+        from rebel_tpu.parallel import mesh as meshlib
+
+        cfg = self.cfg
+        mesh = mesh or meshlib.make_mesh()
+        init_state, gen_step, train_step = meshlib.make_spmd_programs(
+            self, mesh
+        )
+        is_master = jax.process_index() == 0
+        max_epochs = max_epochs or cfg.max_epochs
+        train_size = cfg.train_epoch_size
+
+        def local(x):
+            """Host value of a replicated global array."""
+            return np.asarray(x.addressable_data(0))
+
+        total_added = jax.jit(
+            lambda r: r.num_add.sum(),
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            ),
+        )
+
+        state = init_state(cfg.seed)
+        start_epoch = 0
+        ckpt_dir = self.out_dir / "ckpt"
+        if resume and ckpt_dir.exists():
+            ckpts = sorted(
+                ckpt_dir.glob("epoch*.spmd.ckpt"),
+                key=lambda p: int(p.stem.split(".")[0][5:]),
+            )
+            if ckpts:
+                with open(ckpts[-1], "rb") as f:
+                    saved = pickle.load(f)
+                state = state._replace(
+                    params=meshlib.replicate(mesh, saved["params"]),
+                    opt_state=meshlib.replicate(mesh, saved["opt_state"]),
+                )
+                start_epoch = int(saved["epoch"]) + 1
+                log.info("run_spmd: resumed from %s (epoch %d)",
+                         ckpts[-1], start_epoch)
+
+        metrics_path = self.out_dir / "metrics.jsonl"
+        heartbeat = self.out_dir / "heartbeat"
+        all_metrics = []
+        # Burn-in (selfplay.py:314-327).
+        while int(local(total_added(state.replay))) < (
+            4 * cfg.train_batch_size
+        ):
+            eps, rep, keys = gen_step(
+                state.params, state.episodes, state.replay, state.keys
+            )
+            state = state._replace(episodes=eps, replay=rep, keys=keys)
+
+        for epoch in range(start_epoch, max_epochs):
+            t0 = time.time()
+            while int(local(total_added(state.replay))) * (
+                cfg.train_gen_ratio
+            ) < train_size * (epoch + 1):
+                eps, rep, keys = gen_step(
+                    state.params, state.episodes, state.replay, state.keys
+                )
+                state = state._replace(episodes=eps, replay=rep, keys=keys)
+            gen_s = time.time() - t0
+
+            t0 = time.time()
+            losses = []
+            for _ in range(self.steps_per_epoch):
+                params, opt_state, keys, loss = train_step(
+                    state.params, state.opt_state, state.replay, state.keys
+                )
+                state = state._replace(
+                    params=params, opt_state=opt_state, keys=keys
+                )
+                losses.append(loss)
+            train_s = time.time() - t0
+            loss = float(np.mean([local(l) for l in losses]))
+
+            metrics = {
+                "epoch": epoch,
+                "loss/train": loss,
+                "optim/lr": float(lr_schedule(cfg, 1)(jnp.asarray(epoch))),
+                "buffer/added": int(local(total_added(state.replay))),
+                "timing/gen": gen_s,
+                "timing/train": train_s,
+                "spmd/devices": int(mesh.devices.size),
+                "spmd/processes": jax.process_count(),
+            }
+            if is_master:
+                heartbeat.touch()
+                log.info(
+                    "[SPMD] epoch %d loss %.6f (%d devices, %d procs)",
+                    epoch, loss, mesh.devices.size, jax.process_count(),
+                )
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(metrics) + "\n")
+                if epoch % cfg.checkpoint_every == 0:
+                    ckpt_dir.mkdir(parents=True, exist_ok=True)
+                    host = {
+                        "params": jax.tree.map(local, state.params),
+                        "opt_state": jax.tree.map(local, state.opt_state),
+                        "epoch": epoch,
+                    }
+                    tmp = ckpt_dir / f".epoch{epoch}.spmd.ckpt.tmp"
+                    with open(tmp, "wb") as f:
+                        pickle.dump(host, f)
+                    tmp.replace(ckpt_dir / f"epoch{epoch}.spmd.ckpt")
+                    # Inference-only params export (eval interchange).
+                    tmp = ckpt_dir / f".epoch{epoch}.params.tmp"
+                    with open(tmp, "wb") as f:
+                        pickle.dump(host["params"], f)
+                    tmp.replace(ckpt_dir / f"epoch{epoch}.params")
+            all_metrics.append(metrics)
+        return state, all_metrics
+
     def _epoch_metrics(self, state, stats, epoch):
         cfg = self.cfg
         game = self.game
@@ -482,6 +610,23 @@ class Trainer:
         ctx = full_tree_context(self.game, self.cfg.solver_dtype)
         expl = compute_exploitability(ctx, strategy)
         out = {"exploitability_last": float(expl)}
+        if self.cfg.eval_num_repeats > 0:
+            # Averaged sampled eval (the reference's phase-2 protocol at
+            # small repeat counts, recursive_eval.cc:344-386): tames the
+            # noisy single-sample exploitability_last metric.
+            from rebel_tpu.eval.recursive_eval import sampled_eval
+
+            _, reports = sampled_eval(
+                self.game,
+                self.cfg.env.subgame_params,
+                value_fn,
+                self.cfg.eval_num_repeats,
+                full_strategy=None,
+                mdp_depth=self.cfg.env.subgame_params.max_depth,
+                dtype=self.cfg.solver_dtype,
+                progress=False,
+            )
+            out["exploitability_avg"] = reports[-1]["exploitability"]
         if self.cfg.eval_mse:
             # Net-quality MSE diagnostics (compute_stats_with_net,
             # pybind.cc:57-84 -> stats.cc:44-153; logged as eval_mse/*

@@ -36,13 +36,24 @@ def main(argv=None):
     ap.add_argument(
         "--mode", default="gentle_start",
         choices=("gentle_start", "start_restart", "start_continue",
-                 "restart", "dryrun"),
+                 "restart", "dryrun", "kill"),
     )
     ap.add_argument("--out_root", default="outputs")
     ap.add_argument(
         "--platform", default=None,
         help="force a jax platform (e.g. cpu); needed because this "
         "environment pins JAX_PLATFORMS via sitecustomize",
+    )
+    ap.add_argument(
+        "--dist", default=None, metavar="COORD,N,I",
+        help="(internal; appended by the launcher) join a "
+        "jax.distributed runtime: coordinator address, process count, "
+        "process id",
+    )
+    ap.add_argument(
+        "--exp_dir", default=None,
+        help="(internal) pin the experiment dir instead of deriving it "
+        "from config + overrides (used for launched ranks)",
     )
     ap.add_argument("overrides", nargs="*", help="dotted key=value")
     args = ap.parse_args(argv)
@@ -58,14 +69,55 @@ def main(argv=None):
     cfg = cfglib.load_yaml_config(args.cfg)
     cfg = cfglib.apply_overrides(cfg, args.overrides)
     task = cfg.pop("task", "selfplay")
-    exp_dir = cfglib.exp_dir_for(
-        args.cfg, args.overrides, args.out_root, adhoc=args.adhoc
+    launcher_cfg = cfg.pop("launcher", {}) or {}
+    exp_dir = (
+        pathlib.Path(args.exp_dir)
+        if args.exp_dir
+        else cfglib.exp_dir_for(
+            args.cfg, args.overrides, args.out_root, adhoc=args.adhoc
+        )
     )
     log.info("Config: %s", json.dumps(cfg))
     log.info("Experiment dir: %s", exp_dir)
-    if not cfglib.handle_dst(exp_dir, args.mode):
+
+    if args.mode == "kill":
+        from rebel_tpu.parallel.launcher import kill_experiment
+
+        kill_experiment(exp_dir)
+        return 0
+
+    is_child = args.dist is not None
+    if is_child:
+        # Launched rank: join the distributed runtime; the parent
+        # already ran the experiment-dir state machine.
+        from rebel_tpu.parallel.distributed import initialize
+
+        coord, n, i = args.dist.rsplit(",", 2)
+        initialize(coord, int(n), int(i))
+        # NB: every rank shares the SAME exp dir (resume state must be
+        # identical across ranks or the SPMD loops diverge and deadlock
+        # at the first collective); filesystem writes are master-gated
+        # inside run_spmd.
+    elif not cfglib.handle_dst(exp_dir, args.mode):
         log.info("Nothing to do (mode=%s)", args.mode)
         return 0
+
+    num_processes = int(launcher_cfg.get("num_processes", 1) or 1)
+    if num_processes > 1 and not is_child:
+        # Parent: re-invoke this command once per process with --dist.
+        from rebel_tpu.parallel.launcher import launch_local
+
+        child_argv = [sys.argv[0] if argv is None else "run.py"]
+        child_argv += ["--cfg", args.cfg, "--mode", "start_continue",
+                       "--out_root", args.out_root,
+                       "--exp_dir", str(exp_dir)]
+        if args.platform:
+            child_argv += ["--platform", args.platform]
+        child_argv += args.overrides
+        return launch_local(
+            child_argv, num_processes, exp_dir,
+            coordinator=launcher_cfg.get("coordinator"),
+        )
 
     (exp_dir / "config.json").write_text(json.dumps(cfg, indent=1))
     heartbeat = exp_dir / "heartbeat"
@@ -76,6 +128,31 @@ def main(argv=None):
         from rebel_tpu.training.trainer import Trainer
 
         trainer = Trainer(trainer_cfg, out_dir=exp_dir)
+        import jax
+
+        if is_child or jax.process_count() > 1 or (
+            launcher_cfg.get("spmd") and jax.device_count() > 1
+        ):
+            # SPMD path: sharded lanes + psum'd grads over every device
+            # of every process (resume handled inside).
+            t0 = time.time()
+            state, metrics = trainer.run_spmd(
+                resume=args.mode == "start_continue" or is_child
+            )
+            result = {
+                "task": task,
+                "epochs": len(metrics),
+                "wall_s": time.time() - t0,
+                "final": metrics[-1] if metrics else {},
+                "processes": jax.process_count(),
+                "devices": jax.device_count(),
+            }
+            if jax.process_index() == 0:
+                (exp_dir / "result.json").write_text(
+                    json.dumps(result, indent=1)
+                )
+            log.info("Result: %s", json.dumps(result)[:2000])
+            return 0
         state = None
         if args.mode == "start_continue":
             # Fall back across checkpoints if the newest is unreadable
