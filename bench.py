@@ -135,8 +135,10 @@ def main():
     )
     ap.add_argument("--no-net", action="store_true",
                     help="diagnostic: solver-only (MLP elided)")
-    ap.add_argument("--lane-block", type=int, default=128)
-    ap.add_argument("--mlp-chunks", type=int, default=1)
+    # Best measured config on v5e (see results/KERNEL_TUNING.md):
+    # 256 lanes per program, MLP in 4 column chunks.
+    ap.add_argument("--lane-block", type=int, default=256)
+    ap.add_argument("--mlp-chunks", type=int, default=4)
     ap.add_argument("--ablate", default="",
                     choices=("", "nogelu", "noln", "cheaperf"),
                     help="kernel perf diagnostics (see Grid2PallasSolver)")
