@@ -157,6 +157,14 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         )
         if "engine" in selfplay:
             out["engine"] = selfplay["engine"]
+        if "net_compute_dtype" in selfplay:
+            import jax.numpy as jnp
+
+            name = {"bf16": "bfloat16", "f32": "float32"}.get(
+                selfplay["net_compute_dtype"],
+                selfplay["net_compute_dtype"],
+            )
+            out["net_compute_dtype"] = getattr(jnp, name)
         if "dump_dataset_every_epochs" in selfplay:
             out["dump_dataset_every_epochs"] = selfplay[
                 "dump_dataset_every_epochs"

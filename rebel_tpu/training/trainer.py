@@ -80,6 +80,10 @@ class TrainerConfig:
     max_epochs: int = 10000
     # Self-play engine: 'auto' | 'generic' | 'fast' | 'batched' | 'pallas'.
     engine: str = "auto"
+    # MLP matmul dtype inside the gen engine ('batched'/'pallas' only):
+    # bfloat16 rides the MXU natively (the fused kernel's fast-GELU path,
+    # see results/KERNEL_TUNING.md); float32 is the parity path.
+    net_compute_dtype: Any = jnp.float32
     selfplay_batch: int = 1024  # lockstep lanes (replaces thread count)
     gen_chunk_steps: int = 1  # engine steps per jit'd gen call
     seed: int = 0
@@ -170,7 +174,12 @@ class Trainer:
         self.cfg = cfg
         self.game: LiarsDice = cfg.env.game
         self.out_dir = pathlib.Path(out_dir)
-        self.engine = make_engine(cfg.env, dtype=cfg.solver_dtype, kind=cfg.engine)
+        self.engine = make_engine(
+            cfg.env,
+            dtype=cfg.solver_dtype,
+            kind=cfg.engine,
+            net_compute_dtype=cfg.net_compute_dtype,
+        )
         self.net_spec = CFVNetSpec(
             game=self.game,
             n_hidden=cfg.n_hidden,
