@@ -42,6 +42,19 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh2(
+    n_data: int,
+    n_hands: int,
+    axes: tuple[str, str] = ("data", "h"),
+) -> Mesh:
+    """2D mesh for combined data x hands sharding: lanes over ``data``,
+    the solver's hands dimension over ``axes[1]`` (SURVEY §5's
+    long-context analog — num_hands = faces^dice is the exponential
+    axis)."""
+    devs = np.asarray(jax.devices()[: n_data * n_hands])
+    return Mesh(devs.reshape(n_data, n_hands), axes)
+
+
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     """Place a batch-leading pytree sharded over the mesh axis."""
     sharding = NamedSharding(mesh, P(axis))
@@ -63,18 +76,43 @@ class SpmdState(NamedTuple):
     keys: jax.Array  # [n_dev, 2] one PRNG key per device
 
 
-def make_spmd_programs(trainer, mesh: Mesh, axis: str = "data"):
+def make_spmd_programs(
+    trainer, mesh: Mesh, axis: str = "data", hands_axis: str | None = None
+):
     """Build (init_fn, train_epoch_fn) shard_map'd over ``mesh``.
 
     ``trainer`` is a :class:`rebel_tpu.training.trainer.Trainer`; its cfg
-    sizes are GLOBAL (lanes and batch are divided across devices).
+    sizes are GLOBAL (lanes and batch are divided across the ``axis``
+    dimension of the mesh).
+
+    With ``hands_axis`` set (a 2D mesh from :func:`make_mesh2`), each
+    data shard's subgame solves are additionally sharded over the hands
+    dimension: episode state, replay rows and net params are replicated
+    along ``hands_axis`` (kept identical by identical RNG keys), while
+    the solver's ``[H]``-sized tensors are split, with per-iteration
+    bucket psums inside the solve and one policy/value all-gather per
+    subgame (see ``FastSelfPlayEngine.hands_axis``).
     """
+    import dataclasses as _dc
+
     cfg = trainer.cfg
     game = trainer.game
     engine = trainer.engine
+    if hands_axis:
+        if not hasattr(engine, "hands_axis"):
+            raise ValueError(
+                f"engine {type(engine).__name__} does not support hands "
+                "sharding (use engine='fast')"
+            )
+        engine = _dc.replace(engine, hands_axis=hands_axis)
+        n_h = mesh.shape[hands_axis]
+        assert game.num_hands % n_h == 0, (
+            f"hands-axis size {n_h} must divide "
+            f"num_hands={game.num_hands}"
+        )
     net_spec = trainer.net_spec
     opt = trainer.opt
-    n_dev = mesh.devices.size
+    n_dev = mesh.shape[axis]
     assert cfg.selfplay_batch % n_dev == 0, "lanes must divide devices"
     assert cfg.train_batch_size % n_dev == 0, "batch must divide devices"
     local_lanes = cfg.selfplay_batch // n_dev

@@ -131,6 +131,13 @@ class FastSelfPlayEngine:
 
     cfg: RecursiveSolvingParams
     dtype: jnp.dtype = jnp.float32
+    # Mesh axis name to shard the solver's hands dimension over (SURVEY
+    # §5's sequence-parallelism analog).  The 1024-iteration solve runs
+    # fully sharded (per-iteration cross-shard traffic = the psum of
+    # D+1 win-probability buckets inside Grid2Solver); the solved
+    # policies/values are all-gathered ONCE per subgame so the cheap
+    # episode walk and the replay examples stay full-H.
+    hands_axis: str | None = None
 
     def __post_init__(self):
         assert self.cfg.subgame_params.max_depth == 2
@@ -142,6 +149,7 @@ class FastSelfPlayEngine:
             params=self.cfg.subgame_params,
             dtype=self.dtype,
             value_fn=value_fn,
+            hands_axis=self.hands_axis,
         )
 
     def _solve_with_snapshot(self, root, beliefs, key, value_fn):
@@ -174,11 +182,25 @@ class FastSelfPlayEngine:
     ) -> tuple[EpisodeState, StepOutput]:
         k_solve = jax.random.split(key, 4)[0]
         root = RootCtx.of(self.game, ep.root_bid, ep.root_player)
+        beliefs = ep.beliefs
+        if self.hands_axis:
+            # Episode state keeps full-H beliefs (replicated over the
+            # hands axis); the solve runs on this shard's hand slice.
+            solver = self._solver(value_fn)
+            beliefs = solver._local_hands(beliefs)
         state, (p0, p1) = self._solve_with_snapshot(
-            root, ep.beliefs, k_solve, value_fn
+            root, beliefs, k_solve, value_fn
         )
+        vals = state.root_values_means
+        if self.hands_axis:
+            # One gather per *subgame* (not per iteration): policies for
+            # the walk, per-hand root CFVs for the training example.
+            ax = self.hands_axis
+            p0 = jax.lax.all_gather(p0, ax, axis=0, tiled=True)
+            p1 = jax.lax.all_gather(p1, ax, axis=1, tiled=True)
+            vals = jax.lax.all_gather(vals, ax, axis=-1, tiled=True)
         return walk_lane(
-            self.cfg, self.dtype, ep, key, p0, p1, state.root_values_means
+            self.cfg, self.dtype, ep, key, p0, p1, vals
         )
 
     def batch_step(self, eps: EpisodeState, keys: jax.Array, value_fn):
