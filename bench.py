@@ -116,7 +116,9 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
+    # 8192 lanes is the measured sweet spot on a v5e chip (see
+    # results/SCALING.md lane sweep: 9.76M iters/s vs 9.55M at 4096).
+    ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--num_iters", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--smoke", action="store_true", help="tiny fast run")
