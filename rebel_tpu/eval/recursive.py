@@ -357,7 +357,12 @@ class Grid2FrontierSolver:
         outs0, outs1 = [], []
         for lo in range(0, B, chunk):
             hi = min(lo + chunk, B)
-            pad = chunk - (hi - lo)
+            # Pad partial chunks up to a power of two so the jitted
+            # solve sees a bounded set of shapes (the frontier size
+            # varies per recursion level and repeat block; compiling
+            # per exact size dominated eval wall-clock on TPU).
+            size = min(1 << (hi - lo - 1).bit_length(), chunk)
+            pad = size - (hi - lo)
             rows = lambda x: np.concatenate(
                 [x[lo:hi]] + ([x[lo : lo + 1]] * pad if pad else []), 0
             )

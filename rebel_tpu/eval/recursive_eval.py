@@ -134,19 +134,6 @@ def acting_player_reach(
     return np.where(player[:, None], np.asarray(r1), np.asarray(r0))
 
 
-def _repeat_chunks(num_repeats: int, max_chunk: int) -> list[list[int]]:
-    """Seed chunks sized so cumulative counts hit every power of two up
-    to ``max_chunk`` (the reference reports at power-of-2 repeat counts,
-    recursive_eval.cc:364-386): [1, 1, 2, 4, ..., max_chunk, ...]."""
-    chunks, done = [], 0
-    while done < num_repeats:
-        size = 1 if done == 0 else min(done, max_chunk)
-        size = min(size, num_repeats - done)
-        chunks.append(list(range(done, done + size)))
-        done += size
-    return chunks
-
-
 def acting_player_reach_batch(
     ctx: SolverContext, strategies: np.ndarray
 ) -> np.ndarray:
@@ -206,7 +193,12 @@ def sampled_eval(
                 compute_sampled_strategies_to_leaf_batch,
             )
 
-            for seeds in _repeat_chunks(num_repeats, max_chunk):
+            # Uniform full-size seed blocks: the power-of-2 report
+            # boundaries are taken by per-seed accumulation below, so
+            # there is no need for small device batches (whose varying
+            # shapes each cost a TPU compile).
+            for lo in range(0, num_repeats, max_chunk):
+                seeds = list(range(lo, min(lo + max_chunk, num_repeats)))
                 strats = compute_sampled_strategies_to_leaf_batch(
                     game, sub_params, value_fn, seeds, dtype=dtype
                 ).astype(np.float32)
@@ -225,17 +217,21 @@ def sampled_eval(
                 yield strat, reach
 
     # float32 accumulation mirrors the reference's torch f32 tensors
-    # (recursive_eval.cc:83-96).
+    # (recursive_eval.cc:83-96).  Seeds accumulate one at a time (cheap
+    # host adds) so every power-of-2 repeat count gets a report
+    # regardless of the device chunking above.
     for strats, reaches in strat_reach_chunks():
-        contrib = (strats * reaches[:, :, :, None]).sum(0)
-        rsum = reaches.sum(0)[:, :, None]
-        if summed_strategy is None:
-            summed_strategy, summed_reach = contrib, rsum
-        else:
-            summed_strategy += contrib
-            summed_reach += rsum
-        done += strats.shape[0]
-        if (done & (done - 1)) == 0 or done == num_repeats:
+        for i in range(strats.shape[0]):
+            contrib = strats[i] * reaches[i][:, :, None]
+            rsum = reaches[i][:, :, None]
+            if summed_strategy is None:
+                summed_strategy, summed_reach = contrib, rsum
+            else:
+                summed_strategy += contrib
+                summed_reach += rsum
+            done += 1
+            if (done & (done - 1)) != 0 and done != num_repeats:
+                continue
             final = summed_strategy / (summed_reach + 1e-6)
             e0, e1 = compute_exploitability2(ctx, final)
             report = {

@@ -124,6 +124,12 @@ def main():
                         ),
                         None,
                     ),
+                    # Full detail for the record: the power-of-2 repeat
+                    # reports (recursive_eval.cc:364-386) and the phase-1
+                    # exploitability trajectory (recursive_eval.cc:283-301).
+                    "sampled_reports": result.get("sampled_reports"),
+                    "full_trajectory": result.get("full_trajectory"),
+                    "immediate_regrets": result.get("immediate_regrets"),
                 }
             )
 
