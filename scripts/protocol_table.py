@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Aggregate the paper-protocol eval results into the reference's pivot table.
+
+The reference's ``scripts/eval_all.py`` ends by pivoting per-(game, solver)
+exploitability into a ``full_tree`` vs ``rebel`` table
+(/root/reference/scripts/eval_all.py:124-158).  Here each protocol eval
+(1024 subgame iters x 1024 repeats) is a JSON file under ``results/``
+written by our ``scripts/eval_all.py --out``; this script merges them into
+one table plus the power-of-2 repeat convergence rows, and writes
+``results/PROTOCOL.md``.
+
+Usage: python scripts/protocol_table.py [--glob 'results/eval_*_1024rep.json']
+"""
+import argparse
+import glob
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--glob", default="results/eval_*_1024rep.json")
+    ap.add_argument("--out", default="results/PROTOCOL.md")
+    args = ap.parse_args()
+
+    rows = []
+    for path in sorted(glob.glob(args.glob)):
+        for rec in json.load(open(path)):
+            rec["_file"] = os.path.basename(path)
+            rows.append(rec)
+    if not rows:
+        raise SystemExit(f"no eval files match {args.glob}")
+
+    rows.sort(key=lambda r: (r["game"], r["solver"]))
+    lines = [
+        "# Paper-protocol evaluation (1024 subgame iters x 1024 repeats)",
+        "",
+        "Protocol: `--mdp_depth 2 --subgame_iters 1024 --num_repeats 1024`",
+        "per game x solver, matching the reference's released-checkpoint",
+        "sweep (/root/reference/scripts/eval_all.py:33-44,61-104).",
+        "`full_tree` = exploitability of the unaided 1024-iteration full-tree",
+        "solve; `rebel` = exploitability of the reach-weighted average of 1024",
+        "sampled recursive-to-leaf strategies driven by the trained net.",
+        "",
+        "| game | solver | full_tree | rebel | net |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        net = os.path.basename(os.path.dirname(os.path.dirname(r["net"]))) + "/" + os.path.basename(r["net"])
+        lines.append(
+            f"| {r['game']} | {r['solver']} | {r['full_tree']:.4f} "
+            f"| {r['rebel']:.4f} | `{net}` |"
+        )
+
+    lines += [
+        "",
+        "## Convergence in repeat count (exploitability at power-of-2 repeats)",
+        "",
+    ]
+    for r in rows:
+        reps = r.get("sampled_reports") or []
+        if not reps:
+            continue
+        lines.append(f"### {r['game']} {r['solver']}")
+        lines.append("")
+        lines.append("| repeats | exploitability | ev_vs_full |")
+        lines.append("|---|---|---|")
+        for rep in reps:
+            lines.append(
+                f"| {rep['repeats']} | {rep['exploitability']:.4f} "
+                f"| {rep.get('ev_full', float('nan')):.4f} |"
+            )
+        lines.append("")
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out} ({len(rows)} rows)")
+    for line in lines[9 : 11 + len(rows)]:
+        print(line)
+
+
+if __name__ == "__main__":
+    main()
