@@ -443,7 +443,7 @@ class Trainer:
         return state._replace(episodes=episodes, replay=replay, key=key)
 
     # -------------------------------------------------- SPMD epoch loop
-    def run_spmd(self, mesh=None, max_epochs=None, resume=True):
+    def run_spmd(self, mesh=None, max_epochs=None, resume=True, hands=1):
         """Epoch loop over the shard_map SPMD programs
         (rebel_tpu.parallel.mesh): self-play lanes and replay rows
         sharded over the mesh's data axis, grads psum'd, params
@@ -453,15 +453,35 @@ class Trainer:
         this same loop, host-side control flow driven by replicated
         scalars so all processes stay in lockstep.
 
+        With ``hands > 1`` (the ``launcher.hands`` config knob) the mesh
+        is 2D and each data shard's solver tensors are additionally
+        sharded over the hands dimension — SURVEY §5's long-context
+        analog, for games whose ``num_hands = faces^dice`` outgrows one
+        device.
+
         Checkpoints (params + opt state + epoch; master only) land in
         ``ckpt/epoch<N>.spmd.ckpt`` and are reloaded on ``resume``.
         """
         from rebel_tpu.parallel import mesh as meshlib
 
         cfg = self.cfg
-        mesh = mesh or meshlib.make_mesh()
+        if mesh is None:
+            if hands > 1:
+                n_dev = jax.device_count()
+                assert n_dev % hands == 0, (
+                    f"launcher.hands={hands} must divide the device "
+                    f"count {n_dev}"
+                )
+                mesh = meshlib.make_mesh2(n_dev // hands, hands)
+            else:
+                mesh = meshlib.make_mesh()
         init_state, gen_step, train_step = meshlib.make_spmd_programs(
-            self, mesh
+            self, mesh, hands_axis="h" if hands > 1 else None
+        )
+        log.info(
+            "[SPMD] mesh %s%s", dict(mesh.shape),
+            f" (hands axis 'h' shards num_hands={self.game.num_hands})"
+            if hands > 1 else "",
         )
         is_master = jax.process_index() == 0
         max_epochs = max_epochs or cfg.max_epochs

@@ -137,7 +137,8 @@ def main(argv=None):
             # of every process (resume handled inside).
             t0 = time.time()
             state, metrics = trainer.run_spmd(
-                resume=args.mode == "start_continue" or is_child
+                resume=args.mode == "start_continue" or is_child,
+                hands=int(launcher_cfg.get("hands", 1) or 1),
             )
             result = {
                 "task": task,
