@@ -203,6 +203,24 @@ def test_eval_mse_metrics(tmp_path):
     assert np.isfinite(m["eval_mse/fp_reach"])
 
 
+def test_eval_num_repeats_averaged_metric(tmp_path):
+    """exploit evals with eval_num_repeats>0 additionally emit the
+    averaged sampled-strategy exploitability (the reference's phase-2
+    protocol at small repeat counts, recursive_eval.cc:344-386), taming
+    the noisy single-sample exploitability_last."""
+    cfg = small_cfg(
+        max_epochs=1, exploit=True, exploit_every=1, eval_num_repeats=2
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path)
+    _, metrics = trainer.run()
+    m = metrics[-1]
+    assert np.isfinite(m["exploitability_last"])
+    assert np.isfinite(m["exploitability_avg"])
+    # The averaged strategy can only be less exploitable than garbage:
+    # both are full-tree exploitabilities of valid strategies.
+    assert 0.0 <= m["exploitability_avg"] <= 2.0
+
+
 def test_reference_config_verbatim(tmp_path):
     """The reference's canonical liars_sp.yaml maps onto TrainerConfig
     with no unknown-key errors and the right hyperparameters
