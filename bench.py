@@ -41,7 +41,7 @@ REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.j
 def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
             layout: str = "batch_last", no_net: bool = False,
             lane_block: int = 128, mlp_chunks: int = 1,
-            ablate: str = "", gelu: str = "auto"):
+            ablate: str = "", gelu: str = "auto", use_cfr: bool = True):
     from rebel_tpu.nets.cfv_net import CFVNetSpec
     from rebel_tpu.selfplay.fast_runner import FastBatchedEngine, make_engine
     from rebel_tpu.selfplay.runner import EpisodeState, RecursiveSolvingParams
@@ -51,7 +51,8 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
         num_dice=1,
         num_faces=4,
         subgame_params=SubgameSolvingParams(
-            num_iters=num_iters, max_depth=2, linear_update=True, use_cfr=True
+            num_iters=num_iters, max_depth=2, linear_update=True,
+            use_cfr=use_cfr
         ),
         random_action_prob=0.25,
         sample_leaf=True,
@@ -144,6 +145,9 @@ def main():
     ap.add_argument("--ablate", default="",
                     choices=("", "nogelu", "noln", "cheaperf"),
                     help="kernel perf diagnostics (see Grid2PallasSolver)")
+    ap.add_argument("--fp", action="store_true",
+                    help="measure the FP (fictitious play) solver "
+                    "instead of CFR")
     ap.add_argument("--gelu", default="auto",
                     choices=("auto", "exact", "fast"),
                     help="GELU policy for the pallas fast path")
@@ -151,6 +155,9 @@ def main():
     if args.smoke:
         args.batch, args.num_iters, args.steps = 64, 32, 2
 
+    kw = dict(no_net=args.no_net, lane_block=args.lane_block,
+              mlp_chunks=args.mlp_chunks, ablate=args.ablate,
+              gelu=args.gelu, use_cfr=not args.fp)
     if args.profile:
         jax.profiler.start_trace(args.profile)
     if args.cycles:
@@ -159,16 +166,14 @@ def main():
         t_start = time.perf_counter()
         for cycle in range(args.cycles):
             r = measure(args.batch, args.num_iters, args.steps,
-                        warmup=1 if cycle == 0 else 0, layout=args.layout)
+                        warmup=1 if cycle == 0 else 0, layout=args.layout,
+                        **kw)
             total_items += int(r["examples_per_s"] * r["wall_s"])
             elapsed = time.perf_counter() - t_start
             print(
                 f"cycle {cycle}: items {total_items} "
                 f"per_second {total_items / elapsed:.2f}"
             )
-    kw = dict(no_net=args.no_net, lane_block=args.lane_block,
-              mlp_chunks=args.mlp_chunks, ablate=args.ablate,
-              gelu=args.gelu)
     try:
         res = measure(
             args.batch, args.num_iters, args.steps, layout=args.layout, **kw
@@ -195,7 +200,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "CFR subgame-iters/s per chip (1x4f, depth-2, CFV net fused)",
+                "metric": ("FP" if args.fp else "CFR")
+                + " subgame-iters/s per chip (1x4f, depth-2, CFV net fused)",
                 "value": round(res["cfr_iters_per_s"], 1),
                 "unit": "iters/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
