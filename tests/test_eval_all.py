@@ -1,0 +1,56 @@
+"""Smoke test of the protocol-eval sweep CLI (scripts/eval_all.py — the
+reference's released-checkpoint sweep, /root/reference/scripts/eval_all.py)
+and the pivot-table aggregator (scripts/protocol_table.py).
+
+Runs the whole pipeline at toy scale on CPU: tiny game, zero net, a few
+iterations/repeats; asserts the JSON schema the night-scale protocol
+runs rely on.
+"""
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_eval_all_and_protocol_table(tmp_path):
+    out = tmp_path / "eval_tiny.json"
+    cmd = [
+        sys.executable, str(REPO / "scripts" / "eval_all.py"),
+        "--games", "1x2", "--solvers", "fp", "--net", "zero",
+        "--subgame-iters", "8", "--num-repeats", "2",
+        "--platform", "cpu", "--f32", "--out", str(out),
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = json.loads(out.read_text())
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["game"] == "1x2"
+    assert row["solver"] == "fp"
+    # full-tree exploitability of an 8-iteration FP solve is a positive
+    # finite number well under the uniform strategy's.
+    assert 0.0 < row["full_tree"] < 1.0
+    assert 0.0 <= row["rebel"] < 2.0
+    reports = row["sampled_reports"]
+    assert reports[-1]["repeats"] == 2
+    for rep in reports:
+        assert {"repeats", "e0", "e1", "exploitability"} <= set(rep)
+    # Phase-1 power-of-2 trajectory (recursive_eval.cc:283-301).
+    assert len(row["full_trajectory"]) >= 3
+
+    table = tmp_path / "PROTOCOL.md"
+    cmd = [
+        sys.executable, str(REPO / "scripts" / "protocol_table.py"),
+        "--glob", str(out), "--out", str(table),
+    ]
+    proc = subprocess.run(
+        cmd, cwd=REPO, capture_output=True, text=True, timeout=120
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    text = table.read_text()
+    assert "| 1x2 | fp |" in text
+    assert "## Convergence in repeat count" in text
