@@ -113,6 +113,34 @@ def test_spmd_programs_run_and_learn():
     assert all(np.isfinite(l) for l in losses)
 
 
+def test_run_spmd_hands_mesh(tmp_path):
+    """run_spmd(hands=N) — the launcher.hands knob — builds the 2D
+    data x hands mesh itself (8 virtual devices -> 4 data x 2 hands for
+    1x4f, num_hands=4) and trains."""
+    cfg = small_cfg(
+        env=RecursiveSolvingParams(
+            num_dice=1,
+            num_faces=4,  # num_hands=4, divisible by the 2 hands shards
+            subgame_params=SubgameSolvingParams(
+                num_iters=16, max_depth=2, linear_update=True, use_cfr=True
+            ),
+            random_action_prob=0.25,
+            sample_leaf=True,
+        ),
+        selfplay_batch=8,
+        train_batch_size=8,
+        train_epoch_size=8,
+        replay_capacity=512,
+        max_epochs=1,
+        exploit=False,
+        checkpoint_every=10**6,
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path)
+    state, metrics = trainer.run_spmd(max_epochs=1, resume=False, hands=2)
+    assert len(metrics) == 1
+    assert np.isfinite(metrics[-1]["loss/train"])
+
+
 def test_engine_kinds():
     from rebel_tpu.selfplay.fast_runner import (
         FastBatchedEngine,
