@@ -77,7 +77,7 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
     if no_net:
         # Diagnostic: solver-only cost (the MLP + query assembly is
         # dead-code-eliminated when no params are passed).
-        net_arg = None if getattr(engine, "wants_params", False) else None
+        net_arg = None
     else:
         net_arg = (
             params
@@ -191,7 +191,9 @@ def main():
         jax.profiler.stop_trace()
 
     vs_baseline = None
-    if REF_BASELINE_PATH.exists():
+    # The recorded reference baseline is CFR-only; an FP/CFR ratio
+    # would be meaningless.
+    if REF_BASELINE_PATH.exists() and not args.fp:
         ref = json.loads(REF_BASELINE_PATH.read_text())
         base = ref.get("cfr_iters_per_s_60threads")
         if base:

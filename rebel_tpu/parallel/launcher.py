@@ -50,9 +50,9 @@ def launch_local(
     the interpreter), each with ``--dist host:port,N,i`` appended, and
     wait.  Returns the first nonzero child exit code (0 on success).
 
-    Child stdout/stderr go to ``<exp_dir>/log.rank<i>.txt`` (rank 0 also
-    streams to the parent's stderr, mirroring heyhi's master-only
-    logging)."""
+    Ranks 1..N-1's stdout/stderr go to ``<exp_dir>/log.rank<i>.txt``;
+    rank 0 streams to the parent's own stdout/stderr (mirroring heyhi's
+    master-only logging — capture the parent to keep rank 0's log)."""
     exp_dir = pathlib.Path(exp_dir)
     exp_dir.mkdir(parents=True, exist_ok=True)
     coordinator = coordinator or f"127.0.0.1:{_free_port()}"
@@ -63,11 +63,11 @@ def launch_local(
             argv = [sys.executable] + child_argv + [
                 "--dist", f"{coordinator},{num_processes},{i}"
             ]
-            logf = open(exp_dir / f"log.rank{i}.txt", "ab")
+            logf = open(exp_dir / f"log.rank{i}.txt", "ab") if i else None
             p = subprocess.Popen(
                 argv,
-                stdout=logf if i else None,
-                stderr=logf if i else None,
+                stdout=logf,
+                stderr=logf,
                 start_new_session=True,
             )
             procs.append(p)

@@ -460,7 +460,10 @@ class Trainer:
         device.
 
         Checkpoints (params + opt state + epoch; master only) land in
-        ``ckpt/epoch<N>.spmd.ckpt`` and are reloaded on ``resume``.
+        ``ckpt/epoch<N>.spmd.ckpt`` and are reloaded on ``resume``. The
+        replay ring and episode states restart empty on resume (they are
+        device-sharded; persisting them across a changed mesh is not
+        supported) with the RNG stream seeded past the resume epoch.
         """
         from rebel_tpu.parallel import mesh as meshlib
 
@@ -498,8 +501,8 @@ class Trainer:
             ),
         )
 
-        state = init_state(cfg.seed)
         start_epoch = 0
+        saved = None
         ckpt_dir = self.out_dir / "ckpt"
         if resume and ckpt_dir.exists():
             ckpts = sorted(
@@ -509,13 +512,19 @@ class Trainer:
             if ckpts:
                 with open(ckpts[-1], "rb") as f:
                     saved = pickle.load(f)
-                state = state._replace(
-                    params=meshlib.replicate(mesh, saved["params"]),
-                    opt_state=meshlib.replicate(mesh, saved["opt_state"]),
-                )
                 start_epoch = int(saved["epoch"]) + 1
-                log.info("run_spmd: resumed from %s (epoch %d)",
-                         ckpts[-1], start_epoch)
+        # Seed the self-play stream past the resume point — a resumed
+        # run must not replay epoch 0's episodes (the replay ring and
+        # episode states restart empty/fresh on the SPMD path; the
+        # single-process path restores them from the full-state ckpt).
+        state = init_state(cfg.seed + start_epoch)
+        if saved is not None:
+            state = state._replace(
+                params=meshlib.replicate(mesh, saved["params"]),
+                opt_state=meshlib.replicate(mesh, saved["opt_state"]),
+            )
+            log.info("run_spmd: resumed from %s (epoch %d)",
+                     ckpts[-1], start_epoch)
 
         metrics_path = self.out_dir / "metrics.jsonl"
         heartbeat = self.out_dir / "heartbeat"
@@ -531,9 +540,13 @@ class Trainer:
 
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
+            # Gen throttle relative to the resume point: the ring
+            # restarts empty, so the cumulative target must not demand
+            # the pre-resume epochs' generation again
+            # (selfplay.py:391-405 counts from the process start too).
             while int(local(total_added(state.replay))) * (
                 cfg.train_gen_ratio
-            ) < train_size * (epoch + 1):
+            ) < train_size * (epoch + 1 - start_epoch):
                 eps, rep, keys = gen_step(
                     state.params, state.episodes, state.replay, state.keys
                 )
@@ -704,8 +717,11 @@ class Trainer:
         tmp.replace(ckpt_dir / f"epoch{epoch}.params")
         # Retention: prune old full-state checkpoints.
         if self.cfg.keep_checkpoints:
+            # NB: skip SPMD checkpoints (epochN.spmd.ckpt) — same glob,
+            # different lifecycle and a non-integer stem.
             ckpts = sorted(
-                ckpt_dir.glob("epoch*.ckpt"),
+                (p for p in ckpt_dir.glob("epoch*.ckpt")
+                 if p.stem[5:].isdigit()),
                 key=lambda p: int(p.stem[5:]),
             )
             for old in ckpts[: -self.cfg.keep_checkpoints]:

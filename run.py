@@ -119,9 +119,13 @@ def main(argv=None):
             coordinator=launcher_cfg.get("coordinator"),
         )
 
-    (exp_dir / "config.json").write_text(json.dumps(cfg, indent=1))
-    heartbeat = exp_dir / "heartbeat"
-    heartbeat.touch()
+    # Master-only filesystem writes: launched ranks share one exp dir,
+    # and concurrent non-atomic write_text of the same file can expose
+    # truncated content to readers.
+    dist_rank = int(args.dist.rsplit(",", 1)[1]) if is_child else 0
+    if dist_rank == 0:
+        (exp_dir / "config.json").write_text(json.dumps(cfg, indent=1))
+        (exp_dir / "heartbeat").touch()
 
     if task == "selfplay":
         trainer_cfg = cfglib.cfg_to_trainer_config(cfg)
@@ -160,7 +164,8 @@ def main(argv=None):
             # (e.g. the process was killed mid-write before atomic
             # writes existed).
             ckpts = sorted(
-                (exp_dir / "ckpt").glob("epoch*.ckpt"),
+                (p for p in (exp_dir / "ckpt").glob("epoch*.ckpt")
+                 if p.stem[5:].isdigit()),  # not epochN.spmd.ckpt
                 key=lambda p: int(p.stem[5:]),
                 reverse=True,
             ) if (exp_dir / "ckpt").exists() else []

@@ -45,11 +45,19 @@ def main() -> None:
         "| game | solver | full_tree | rebel | net |",
         "|---|---|---|---|---|",
     ]
+    def fmt(v):
+        return f"{v:.4f}" if v is not None else "—"
+
     for r in rows:
-        net = os.path.basename(os.path.dirname(os.path.dirname(r["net"]))) + "/" + os.path.basename(r["net"])
+        net = r.get("net") or "none"
+        if "/" in net:
+            net = (
+                os.path.basename(os.path.dirname(os.path.dirname(net)))
+                + "/" + os.path.basename(net)
+            )
         lines.append(
-            f"| {r['game']} | {r['solver']} | {r['full_tree']:.4f} "
-            f"| {r['rebel']:.4f} | `{net}` |"
+            f"| {r['game']} | {r['solver']} | {fmt(r['full_tree'])} "
+            f"| {fmt(r['rebel'])} | `{net}` |"
         )
 
     lines += [

@@ -141,6 +141,35 @@ def test_run_spmd_hands_mesh(tmp_path):
     assert np.isfinite(metrics[-1]["loss/train"])
 
 
+def test_run_spmd_resume(tmp_path):
+    """Killing an SPMD run and rerunning with resume=True continues from
+    the last epoch<N>.spmd.ckpt: params/opt restored, the epoch loop and
+    the gen throttle both restart from the resume point (the replay ring
+    is device-sharded and restarts empty, so the cumulative throttle
+    target must not demand the pre-resume epochs' generation again)."""
+    cfg = small_cfg(
+        selfplay_batch=8,
+        train_batch_size=8,
+        train_epoch_size=64,
+        replay_capacity=512,
+        checkpoint_every=1,
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path)
+    _, metrics1 = trainer.run_spmd(max_epochs=2, resume=False)
+    assert [m["epoch"] for m in metrics1] == [0, 1]
+    assert (tmp_path / "ckpt" / "epoch1.spmd.ckpt").exists()
+
+    trainer2 = Trainer(cfg, out_dir=tmp_path)
+    _, metrics2 = trainer2.run_spmd(max_epochs=3, resume=True)
+    assert [m["epoch"] for m in metrics2] == [2]
+    assert np.isfinite(metrics2[0]["loss/train"])
+    # Throttle counted from the resume point: burn-in (4*batch = 32
+    # examples) already covers epoch 2's quota of 64/4 = 16, so no extra
+    # generation happens.  Counting from epoch 0 (the bug) would demand
+    # 3*64/4 = 48 and generate an extra chunk.
+    assert metrics2[0]["buffer/added"] <= 4 * cfg.train_batch_size
+
+
 def test_engine_kinds():
     from rebel_tpu.selfplay.fast_runner import (
         FastBatchedEngine,
