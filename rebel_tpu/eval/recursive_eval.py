@@ -165,6 +165,7 @@ def sampled_eval(
     progress: bool = True,
     batched: bool | None = None,
     max_chunk: int | None = None,
+    on_report: Callable[[list], None] | None = None,
 ):
     """Phase 2: reach-weighted average of sampled recursive strategies.
 
@@ -172,7 +173,11 @@ def sampled_eval(
     as device lane batches via
     :func:`rebel_tpu.eval.recursive.compute_sampled_strategies_to_leaf_batch`
     — same per-seed results as the sequential path, minutes instead of
-    hours at the paper protocol's 1024 repeats."""
+    hours at the paper protocol's 1024 repeats.
+
+    ``on_report`` (if given) is called with the reports-so-far list after
+    every power-of-2 report — hook for streaming partial results to disk
+    so a killed run keeps everything it computed."""
     ctx = full_tree_context(game, dtype)
     sub_params = params.replace(max_depth=mdp_depth)
     if batched is None:
@@ -246,6 +251,8 @@ def sampled_eval(
                     ev_full_0=ev0, ev_full_1=ev1, ev_full=(ev0 + ev1) / 2
                 )
             reports.append(report)
+            if on_report is not None:
+                on_report(reports)
             if progress:
                 log.info(
                     "%5d: %.6g (%.6g,%.6g)\tEV of full: %s",
@@ -274,10 +281,25 @@ def run_eval(
     num_repeats: int = 0,
     mdp_depth: int = 2,
     dtype=jnp.float64,
+    partial_path: str | pathlib.Path | None = None,
 ) -> dict:
-    """Full recursive_eval flow; returns the XXX/YYY-equivalent dict."""
+    """Full recursive_eval flow; returns the XXX/YYY-equivalent dict.
+
+    ``partial_path`` (if given) receives an atomically-rewritten JSON
+    snapshot of the result after phase 1 and after every power-of-2
+    sampled report, so a run killed by a deadline keeps everything it
+    computed (the reference only writes at exit, recursive_eval.cc:409)."""
     ensure_dtype_support(dtype)
     params = base_params.replace(num_iters=subgame_iters)
+
+    def write_partial(obj: dict) -> None:
+        if partial_path is None:
+            return
+        p = pathlib.Path(partial_path)
+        tmp = p.with_name(p.name + ".tmp")
+        tmp.write_text(json.dumps(obj, indent=1))
+        tmp.replace(p)
+
     full_strategy, trajectory, iterates = full_solve(
         game, params, dtype, collect_iterates=params.use_cfr
     )
@@ -304,12 +326,30 @@ def run_eval(
         )
     results_ev = {}
     reports = []
+    partial = {
+        "exploitability": dict(results),
+        "ev": {},
+        "full_trajectory": trajectory,
+        "sampled_reports": reports,
+        "immediate_regrets": regret_summary,
+        "partial": True,
+    }
+    write_partial(partial)
     if num_repeats > 0:
         if value_fn is None:
             raise ValueError("num_repeats > 0 requires a value net")
+
+        def stream(reps):
+            partial["sampled_reports"] = reps
+            partial["exploitability"]["repeated toleaf (partial)"] = reps[
+                -1
+            ]["exploitability"]
+            write_partial(partial)
+
         final, reports = sampled_eval(
             game, params, value_fn, num_repeats, full_strategy,
             mdp_depth, dtype,
+            on_report=stream if partial_path is not None else None,
         )
         last = reports[-1]
         results[f"repeated toleaf {num_repeats}"] = last["exploitability"]
