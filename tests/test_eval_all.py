@@ -26,6 +26,8 @@ def test_eval_all_and_protocol_table(tmp_path):
         cmd, cwd=REPO, capture_output=True, text=True, timeout=600
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    # Clean completion removes the streaming partial snapshot.
+    assert not (tmp_path / "eval_tiny.json.partial").exists()
     rows = json.loads(out.read_text())
     assert len(rows) == 1
     row = rows[0]
@@ -54,3 +56,43 @@ def test_eval_all_and_protocol_table(tmp_path):
     text = table.read_text()
     assert "| 1x2 | fp |" in text
     assert "## Convergence in repeat count" in text
+
+
+def test_run_eval_streams_partial_snapshots(tmp_path):
+    """run_eval(partial_path=...) rewrites the snapshot after phase 1 and
+    after every power-of-2 sampled report, so a timeout-killed protocol
+    eval keeps everything it computed."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from rebel_tpu.eval.recursive_eval import run_eval
+    from rebel_tpu.games.liars_dice import LiarsDice
+    from rebel_tpu.nets.value_nets import zero_value_fn
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    game = LiarsDice(1, 2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=2, linear_update=True, use_cfr=True
+    )
+    partial = tmp_path / "snap.json"
+    result = run_eval(
+        game,
+        params,
+        zero_value_fn(game),
+        subgame_iters=8,
+        num_repeats=4,
+        dtype=jnp.float32,
+        partial_path=partial,
+    )
+    snap = json.loads(partial.read_text())
+    assert snap["partial"] is True
+    # The last snapshot holds all power-of-2 reports and matches the
+    # returned result.
+    assert [r["repeats"] for r in snap["sampled_reports"]] == [1, 2, 4]
+    assert snap["sampled_reports"] == result["sampled_reports"]
+    assert snap["exploitability"]["repeated toleaf (partial)"] == (
+        result["sampled_reports"][-1]["exploitability"]
+    )
+    assert len(snap["full_trajectory"]) >= 3
