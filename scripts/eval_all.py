@@ -101,9 +101,11 @@ def main():
                 spec = CFVNetSpec(game=game)
                 value_fn = spec.value_fn(load_params(ckpts[-1]))
 
-            # Stream phase-1/phase-2 progress to <out>.partial so a run
-            # killed by a timeout keeps every power-of-2 report it
-            # computed; completed rows land in <out> immediately below.
+            # Stream phase-1/phase-2 progress to a per-row partial file
+            # (game/solver in the name so protocol_table can attribute
+            # it) so a run killed by a timeout keeps every power-of-2
+            # report it computed; completed rows land in <out>
+            # immediately below.
             result = run_eval(
                 game,
                 params,
@@ -112,7 +114,7 @@ def main():
                 num_repeats=args.num_repeats if value_fn is not None else 0,
                 mdp_depth=args.mdp_depth,
                 dtype=dtype,
-                partial_path=args.out + ".partial",
+                partial_path=f"{args.out}.{gstr}-{solver}.partial",
             )
             rows.append(
                 {
@@ -137,6 +139,9 @@ def main():
                 }
             )
             pathlib.Path(args.out).write_text(json.dumps(rows, indent=1))
+            p = pathlib.Path(f"{args.out}.{gstr}-{solver}.partial")
+            if p.exists():
+                p.unlink()
 
     # Pivot table (eval_all.py:124-158).
     print(f"\n{'game':>6} {'solver':>6} {'full_tree':>12} {'rebel':>12}")
@@ -144,9 +149,6 @@ def main():
         reb = f"{r['rebel']:.6f}" if r["rebel"] is not None else "-"
         print(f"{r['game']:>6} {r['solver']:>6} {r['full_tree']:>12.6f} {reb:>12}")
     pathlib.Path(args.out).write_text(json.dumps(rows, indent=1))
-    partial = pathlib.Path(args.out + ".partial")
-    if partial.exists():
-        partial.unlink()
     print(f"\nwritten: {args.out}")
 
 

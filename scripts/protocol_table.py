@@ -28,6 +28,31 @@ def main() -> None:
         for rec in json.load(open(path)):
             rec["_file"] = os.path.basename(path)
             rows.append(rec)
+    # Leftover streaming snapshots from timeout-killed evals
+    # (<out>.<game>-<solver>.partial, written by scripts/eval_all.py):
+    # surface them as annotated rows rather than dropping the work.
+    seen = {(r["game"], r["solver"]) for r in rows}
+    for path in sorted(glob.glob(args.glob + ".*partial")):
+        tag = os.path.basename(path).rsplit(".", 2)[-2]
+        if "-" not in tag:
+            continue
+        gstr, solver = tag.split("-", 1)
+        if (gstr, solver) in seen:
+            continue
+        rec = json.load(open(path))
+        reps = rec.get("sampled_reports") or []
+        rows.append(
+            {
+                "game": gstr,
+                "solver": solver + f" (partial, {reps[-1]['repeats']} reps)"
+                if reps else solver + " (partial, phase 1 only)",
+                "net": None,
+                "full_tree": rec.get("exploitability", {}).get("full_tree"),
+                "rebel": reps[-1]["exploitability"] if reps else None,
+                "sampled_reports": reps,
+                "_file": os.path.basename(path),
+            }
+        )
     if not rows:
         raise SystemExit(f"no eval files match {args.glob}")
 

@@ -27,7 +27,7 @@ def test_eval_all_and_protocol_table(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     # Clean completion removes the streaming partial snapshot.
-    assert not (tmp_path / "eval_tiny.json.partial").exists()
+    assert not list(tmp_path.glob("eval_tiny.json.*partial"))
     rows = json.loads(out.read_text())
     assert len(rows) == 1
     row = rows[0]
