@@ -29,6 +29,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rebel_tpu.selfplay import replay as rb
@@ -194,7 +195,7 @@ def make_spmd_programs(
         pred = net_spec.module.apply(params, queries)
         err = targets - pred
         per_ex = (huber(err) if cfg.loss == "huber" else err * err).mean(-1)
-        return per_ex.mean()
+        return per_ex.mean(), per_ex
 
     @partial(
         jax.shard_map,
@@ -206,17 +207,35 @@ def make_spmd_programs(
     def train_step(params, opt_state, replay, keys):
         """Local sub-batch per device; grads psum'd over the mesh so the
         replicated params stay identical (the reference's DataParallel
-        analog, selfplay.py:84-87, upgraded to cross-host)."""
+        analog, selfplay.py:84-87, upgraded to cross-host).  Returns the
+        same per-last-action stats dict as the single-process step
+        (selfplay.py:158-170,449-458): bucket sums psum'd over the mesh,
+        so metric names/semantics match across paths."""
+        from rebel_tpu.training.trainer import last_action_index
+
         replay = _local_replay(replay)
         key, k = jax.random.split(keys[0])
         sample = rb.sample_uniform(replay, k, local_batch)
-        loss, grads = jax.value_and_grad(_loss)(
+        (loss, per_ex), grads = jax.value_and_grad(_loss, has_aux=True)(
             params, sample.queries, sample.values
         )
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
+        g_norm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, key[None], loss
+        bucket = last_action_index(sample.queries, game.num_actions)
+        nb = game.num_actions + 1
+        stats = dict(
+            loss=loss,
+            g_norm=g_norm,
+            counts=jax.lax.psum(
+                jnp.zeros(nb).at[bucket].add(1.0), axis),
+            loss_sums=jax.lax.psum(
+                jnp.zeros(nb).at[bucket].add(per_ex), axis),
+            val_sums=jax.lax.psum(
+                jnp.zeros(nb).at[bucket].add(sample.values.sum(-1)), axis),
+        )
+        return params, opt_state, key[None], stats
 
     return init_state, jax.jit(gen_step), jax.jit(train_step)

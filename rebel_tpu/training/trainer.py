@@ -140,6 +140,20 @@ def huber(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(ax > 1, ax * 2 - 1, x * x)
 
 
+def bucket_metrics(game, counts, loss_sums, val_sums) -> dict:
+    """Per-last-action loss/value/share metrics (selfplay.py:449-458),
+    shared by the single-process and SPMD epoch loops."""
+    out = {}
+    total = counts.sum()
+    for a in range(game.num_actions + 1):
+        name = "initial" if a == game.num_actions else a
+        if counts[a] > 0:
+            out[f"loss/train_{name}"] = float(loss_sums[a] / counts[a])
+            out[f"val/train_{name}"] = float(val_sums[a] / counts[a])
+        out[f"shares/train_{name}"] = float(counts[a] / total)
+    return out
+
+
 def last_action_index(queries: jnp.ndarray, num_actions: int) -> jnp.ndarray:
     """Index of the one-hot last action; ``num_actions`` when the query is
     for the initial state (get_last_action_index, selfplay.py:624-633)."""
@@ -554,33 +568,65 @@ class Trainer:
             gen_s = time.time() - t0
 
             t0 = time.time()
-            losses = []
+            step_stats = []
             for _ in range(self.steps_per_epoch):
-                params, opt_state, keys, loss = train_step(
+                params, opt_state, keys, stats = train_step(
                     state.params, state.opt_state, state.replay, state.keys
                 )
                 state = state._replace(
                     params=params, opt_state=opt_state, keys=keys
                 )
-                losses.append(loss)
+                step_stats.append(stats)
             train_s = time.time() - t0
-            loss = float(np.mean([local(l) for l in losses]))
+            host = [
+                {k: np.asarray(local(v)) for k, v in s.items()}
+                for s in step_stats
+            ]
+            loss = float(np.mean([s["loss"] for s in host]))
+            g_norms = np.asarray([s["g_norm"] for s in host])
 
             metrics = {
                 "epoch": epoch,
                 "loss/train": loss,
                 "optim/lr": float(lr_schedule(cfg, 1)(jnp.asarray(epoch))),
+                "optim/grad_max": float(g_norms.max()),
+                "optim/grad_mean": float(g_norms.mean()),
                 "buffer/added": int(local(total_added(state.replay))),
                 "timing/gen": gen_s,
                 "timing/train": train_s,
                 "spmd/devices": int(mesh.devices.size),
                 "spmd/processes": jax.process_count(),
             }
+            metrics.update(
+                bucket_metrics(
+                    self.game,
+                    sum(s["counts"] for s in host),
+                    sum(s["loss_sums"] for s in host),
+                    sum(s["val_sums"] for s in host),
+                )
+            )
             if is_master:
                 heartbeat.touch()
+                if cfg.exploit and cfg.exploit_every and (
+                    epoch % cfg.exploit_every == 0
+                ):
+                    # Master-only in-training exploitability, as on the
+                    # single-process path (selfplay.py:555-570). Runs on
+                    # the master's local device; other ranks simply wait
+                    # at their next collective.
+                    t0 = time.time()
+                    metrics.update(
+                        self.evaluate_params(
+                            jax.tree.map(local, state.params)
+                        )
+                    )
+                    metrics["timing/exploit"] = time.time() - t0
                 log.info(
-                    "[SPMD] epoch %d loss %.6f (%d devices, %d procs)",
-                    epoch, loss, mesh.devices.size, jax.process_count(),
+                    "[SPMD] epoch %d loss %.6f exploit %s (%d devices, "
+                    "%d procs)",
+                    epoch, loss,
+                    metrics.get("exploitability_last", "-"),
+                    mesh.devices.size, jax.process_count(),
                 )
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(metrics) + "\n")
@@ -620,29 +666,32 @@ class Trainer:
             "buffer/size": int(state.replay.size),
             "buffer/added": int(state.replay.num_add),
         }
-        counts = stats["counts"].sum(0)
-        loss_sums = stats["loss_sums"].sum(0)
-        val_sums = stats["val_sums"].sum(0)
-        total = counts.sum()
-        for a in range(game.num_actions + 1):
-            name = "initial" if a == game.num_actions else a
-            if counts[a] > 0:
-                metrics[f"loss/train_{name}"] = float(loss_sums[a] / counts[a])
-                metrics[f"val/train_{name}"] = float(val_sums[a] / counts[a])
-            metrics[f"shares/train_{name}"] = float(counts[a] / total)
+        metrics.update(
+            bucket_metrics(
+                game,
+                stats["counts"].sum(0),
+                stats["loss_sums"].sum(0),
+                stats["val_sums"].sum(0),
+            )
+        )
         return metrics
 
     # ------------------------------------------------------------- eval
     def evaluate(self, state: TrainState) -> dict:
         """In-training exploitability via recursive solving to leaf with
         the current net (compute_stats_with_net, pybind.cc:57-84)."""
+        return self.evaluate_params(state.params)
+
+    def evaluate_params(self, params) -> dict:
+        """:meth:`evaluate` on bare net params (shared by the
+        single-process and SPMD epoch loops)."""
         from rebel_tpu.eval.recursive import compute_strategy_recursive_to_leaf
         from rebel_tpu.solving.exploitability import (
             compute_exploitability,
             full_tree_context,
         )
 
-        value_fn = self.net_spec.value_fn(state.params)
+        value_fn = self.net_spec.value_fn(params)
         strategy = compute_strategy_recursive_to_leaf(
             self.game,
             self.cfg.env.subgame_params,

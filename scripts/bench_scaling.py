@@ -76,17 +76,17 @@ def main():
         episodes, replay, keys = st.episodes, st.replay, st.keys
         # Warmup (compile).
         episodes, replay, keys = gen_step(params, episodes, replay, keys)
-        params, opt_state, keys, loss = train_step(
+        params, opt_state, keys, stats = train_step(
             params, opt_state, replay, keys
         )
-        float(np.asarray(loss))
+        float(np.asarray(stats["loss"]))
         t0 = time.perf_counter()
         for _ in range(args.steps):
             episodes, replay, keys = gen_step(params, episodes, replay, keys)
-            params, opt_state, keys, loss = train_step(
+            params, opt_state, keys, stats = train_step(
                 params, opt_state, replay, keys
             )
-        chk = float(np.asarray(loss))
+        chk = float(np.asarray(stats["loss"]))
         dt = time.perf_counter() - t0
         subgames = cfg.selfplay_batch * args.steps
         rows.append(

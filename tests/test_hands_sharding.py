@@ -181,9 +181,9 @@ def test_hands_by_data_spmd_gen_train():
         episodes, replay, keys = gen_step(params, episodes, replay, keys)
     losses = []
     for _ in range(3):
-        params, opt_state, keys, loss = train_step(
+        params, opt_state, keys, stats = train_step(
             params, opt_state, replay, keys
         )
-        losses.append(float(np.asarray(loss)))
+        losses.append(float(np.asarray(stats["loss"])))
     assert np.isfinite(losses).all()
     assert int(np.asarray(replay.num_add).sum()) > 0

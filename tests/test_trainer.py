@@ -106,10 +106,10 @@ def test_spmd_programs_run_and_learn():
     params, opt_state = st.params, st.opt_state
     for _ in range(3):
         episodes, replay, keys = gen_step(params, episodes, replay, keys)
-        params, opt_state, keys, loss = train_step(
+        params, opt_state, keys, stats = train_step(
             params, opt_state, replay, keys
         )
-        losses.append(float(loss))
+        losses.append(float(stats["loss"]))
     assert all(np.isfinite(l) for l in losses)
 
 
@@ -153,6 +153,8 @@ def test_run_spmd_resume(tmp_path):
         train_epoch_size=64,
         replay_capacity=512,
         checkpoint_every=1,
+        exploit=True,
+        exploit_every=2,
     )
     trainer = Trainer(cfg, out_dir=tmp_path)
     _, metrics1 = trainer.run_spmd(max_epochs=2, resume=False)
@@ -163,6 +165,12 @@ def test_run_spmd_resume(tmp_path):
     _, metrics2 = trainer2.run_spmd(max_epochs=3, resume=True)
     assert [m["epoch"] for m in metrics2] == [2]
     assert np.isfinite(metrics2[0]["loss/train"])
+    # Metric parity with the single-process path: per-last-action
+    # buckets, grad norms, and the master-only in-training exploit eval
+    # (epoch 2 matches exploit_every=2).
+    assert "shares/train_initial" in metrics2[0]
+    assert np.isfinite(metrics2[0]["optim/grad_max"])
+    assert np.isfinite(metrics2[0]["exploitability_last"])
     # Throttle counted from the resume point: burn-in (4*batch = 32
     # examples) already covers epoch 2's quota of 64/4 = 16, so no extra
     # generation happens.  Counting from epoch 0 (the bug) would demand
