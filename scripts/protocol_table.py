@@ -19,7 +19,7 @@ import os
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--glob", default="results/eval_*_1024rep.json")
+    ap.add_argument("--glob", default="results/eval_*rep.json")
     ap.add_argument("--out", default="results/PROTOCOL.md")
     args = ap.parse_args()
 
@@ -27,11 +27,22 @@ def main() -> None:
     for path in sorted(glob.glob(args.glob)):
         for rec in json.load(open(path)):
             rec["_file"] = os.path.basename(path)
+            reps = rec.get("sampled_reports") or []
+            rec["_max_reps"] = reps[-1]["repeats"] if reps else 0
+            if 0 < rec["_max_reps"] < 1024:
+                rec["solver"] += f" ({rec['_max_reps']} reps)"
             rows.append(rec)
+    # One row per (game, base solver): keep the deepest-repeat complete run.
+    best = {}
+    for rec in rows:
+        key = (rec["game"], rec["solver"].split(" ")[0])
+        if key not in best or rec["_max_reps"] > best[key]["_max_reps"]:
+            best[key] = rec
+    rows = list(best.values())
     # Leftover streaming snapshots from timeout-killed evals
     # (<out>.<game>-<solver>.partial, written by scripts/eval_all.py):
     # surface them as annotated rows rather than dropping the work.
-    seen = {(r["game"], r["solver"]) for r in rows}
+    seen = {(r["game"], r["solver"].split(" ")[0]) for r in rows}
     for path in sorted(glob.glob(args.glob + ".*partial")):
         tag = os.path.basename(path).rsplit(".", 2)[-2]
         if "-" not in tag:
@@ -66,6 +77,13 @@ def main() -> None:
         "`full_tree` = exploitability of the unaided 1024-iteration full-tree",
         "solve; `rebel` = exploitability of the reach-weighted average of 1024",
         "sampled recursive-to-leaf strategies driven by the trained net.",
+        "",
+        "The paper's exploitability table (arXiv:2007.13544) is not",
+        "reproducible in this offline environment (no network egress to fetch",
+        "the paper, its released checkpoints, or its exact numbers); the",
+        "cross-checks here are the full-tree baselines above, the reference's",
+        "own protocol/tooling semantics (golden-parity tests), and repeat-count",
+        "convergence below.",
         "",
         "| game | solver | full_tree | rebel | net |",
         "|---|---|---|---|---|",
@@ -108,7 +126,8 @@ def main() -> None:
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out} ({len(rows)} rows)")
-    for line in lines[9 : 11 + len(rows)]:
+    start = lines.index("| game | solver | full_tree | rebel | net |")
+    for line in lines[start : start + 2 + len(rows)]:
         print(line)
 
 
