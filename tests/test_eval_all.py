@@ -54,7 +54,10 @@ def test_eval_all_and_protocol_table(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     text = table.read_text()
-    assert "| 1x2 | fp |" in text
+    # Runs below the canonical 1024 repeats are annotated with their
+    # actual repeat count so reduced-budget rows are never mistaken for
+    # full-protocol numbers.
+    assert "| 1x2 | fp (2 reps) |" in text
     assert "## Convergence in repeat count" in text
 
 
