@@ -19,6 +19,8 @@ for src in "$REF/liars_dice.cc" "$REF/subgame_solving.cc" \
   fi
 done
 for p in "${pids[@]:-}"; do [ -n "$p" ] && wait "$p"; done
-g++ obj/*.o -o golden_dump \
+# Link the exact objects (obj/ also holds other tools' mains).
+g++ obj/liars_dice.o obj/subgame_solving.o obj/recursive_solving.o \
+    obj/real_net.o obj/golden_dump.o -o golden_dump \
     -L "$TORCH/lib" -ltorch_cpu -lc10 -ltorch -Wl,-rpath,"$TORCH/lib"
 echo "built: $(pwd)/golden_dump"

@@ -44,7 +44,8 @@ static void print_strategy_flat(const TreeStrategy& s) {
 
 int main(int argc, char** argv) {
   int num_dice = 1, num_faces = 4, num_iters = 64, max_depth = 1000000;
-  bool use_cfr = true, linear = true;
+  bool use_cfr = true, linear = true, optimistic = false, dcfr = false;
+  double dcfr_alpha = 0, dcfr_beta = 0, dcfr_gamma = 0;
   int root_bid = -1, root_player = 0;
   // beliefs: uniform unless --beliefs "csv;csv"
   std::string beliefs_arg;
@@ -56,6 +57,13 @@ int main(int argc, char** argv) {
     else if (is("--max_depth")) max_depth = atoi(argv[++i]);
     else if (is("--fp")) use_cfr = false;
     else if (is("--no_linear")) linear = false;
+    else if (is("--optimistic")) optimistic = true;
+    else if (is("--dcfr")) {
+      dcfr = true;
+      dcfr_alpha = atof(argv[++i]);
+      dcfr_beta = atof(argv[++i]);
+      dcfr_gamma = atof(argv[++i]);
+    }
     else if (is("--root_bid")) root_bid = atoi(argv[++i]);
     else if (is("--root_player")) root_player = atoi(argv[++i]);
     else if (is("--beliefs")) beliefs_arg = argv[++i];
@@ -67,6 +75,11 @@ int main(int argc, char** argv) {
   params.max_depth = max_depth;
   params.use_cfr = use_cfr;
   params.linear_update = linear;
+  params.optimistic = optimistic;
+  params.dcfr = dcfr;
+  params.dcfr_alpha = dcfr_alpha;
+  params.dcfr_beta = dcfr_beta;
+  params.dcfr_gamma = dcfr_gamma;
 
   PartialPublicState root{root_bid, root_player};
   auto beliefs = get_initial_beliefs(game);
@@ -84,6 +97,9 @@ int main(int argc, char** argv) {
   auto solver = build_solver(game, root, beliefs, params, nullptr);
   printf("{\"game\":[%d,%d],\"num_iters\":%d,\"use_cfr\":%d,\"linear\":%d,",
          num_dice, num_faces, num_iters, use_cfr, linear);
+  printf("\"optimistic\":%d,\"dcfr\":%d,", optimistic, dcfr);
+  printf("\"dcfr_alpha\":%g,\"dcfr_beta\":%g,\"dcfr_gamma\":%g,",
+         dcfr_alpha, dcfr_beta, dcfr_gamma);
   printf("\"exploitability\":[");
   bool first = true;
   bool full_tree = root_bid == -1 && beliefs_arg.empty();
