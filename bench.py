@@ -181,6 +181,13 @@ def main():
     except Exception as e:  # pallas/Mosaic toolchain hiccup: fall back
         if args.layout == "batch_first":
             raise
+        if args.no_net:
+            # Only the fused Pallas kernel dead-code-eliminates the MLP;
+            # the XLA grid engines require a value_fn for depth-2
+            # subgames (grid2.py), so a --no-net fallback cannot run.
+            print("# layout failed and --no-net has no batch_first "
+                  "equivalent; aborting", flush=True)
+            raise
         print(f"# layout {args.layout} failed ({type(e).__name__}); "
               "falling back to batch_first", flush=True)
         args.layout = "batch_first"

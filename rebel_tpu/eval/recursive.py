@@ -353,15 +353,16 @@ class Grid2FrontierSolver:
         """bids/players/stops [B], beliefs [B, 2, H] ->
         (snap0 [B, H, A], snap1 [B, A, H, A]) as numpy."""
         B = int(np.shape(bids)[0])
-        chunk = min(self.chunk, max(B, 1))
         outs0, outs1 = [], []
-        for lo in range(0, B, chunk):
-            hi = min(lo + chunk, B)
+        for lo in range(0, B, self.chunk):
+            hi = min(lo + self.chunk, B)
             # Pad partial chunks up to a power of two so the jitted
             # solve sees a bounded set of shapes (the frontier size
             # varies per recursion level and repeat block; compiling
-            # per exact size dominated eval wall-clock on TPU).
-            size = min(1 << (hi - lo - 1).bit_length(), chunk)
+            # per exact size dominated eval wall-clock on TPU).  The
+            # pad target must NOT be clamped to B: a 192-lane call must
+            # pad to 256, not run un-padded at a fresh 192-lane shape.
+            size = 1 << (hi - lo - 1).bit_length()
             pad = size - (hi - lo)
             rows = lambda x: np.concatenate(
                 [x[lo:hi]] + ([x[lo : lo + 1]] * pad if pad else []), 0
@@ -384,6 +385,7 @@ def compute_sampled_strategies_to_leaf_batch(
     seeds: list[int],
     dtype=jnp.float64,
     chunk: int = 1024,
+    fsolver: "Grid2FrontierSolver | None" = None,
 ) -> np.ndarray:
     """Batched ``compute_sampled_strategy_recursive_to_leaf`` over many
     repeat seeds at ``max_depth == 2`` (the paper protocol,
@@ -403,7 +405,11 @@ def compute_sampled_strategies_to_leaf_batch(
     """
     assert params.max_depth == 2
     full = unroll_tree(game)
-    fsolver = Grid2FrontierSolver(game, params, dtype, value_fn, chunk)
+    if fsolver is None:
+        # Callers looping over seed blocks should build one solver and
+        # pass it in — its jitted vmapped solve (and every compiled
+        # lane shape) is reused across calls.
+        fsolver = Grid2FrontierSolver(game, params, dtype, value_fn, chunk)
     eps = reach_eps(dtype)
     H, A = game.num_hands, game.num_actions
     liar = game.liar_call

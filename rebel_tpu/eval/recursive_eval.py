@@ -54,7 +54,9 @@ def full_solve(
     (recursive_eval.cc:276-309).  With ``collect_iterates`` (CFR), the
     even-iteration sampling strategies are returned for the
     immediate-regret report (recursive_eval.cc:283-287).
-    Returns (strategy [N,H,A], trajectory list, iterates list)."""
+    Returns (strategy [N,H,A], trajectory list, iterates list) — each
+    iterate is a *flattened* [N*H*A] host array (see
+    ``run_chunk_collect`` for why)."""
     ctx = full_tree_context(game, dtype)
     solver = build_solver(ctx, params.replace(max_depth=10**6))
     root = RootCtx.concrete(ctx.tree)
@@ -75,8 +77,12 @@ def full_solve(
     def run_chunk_collect(state, start, n):
         # Same, also emitting the even-iteration sampling strategies
         # (for the immediate-regret report, recursive_eval.cc:283-287).
+        # Iterates are emitted flattened ([N*H*A]) so the stacked device
+        # buffer tiles compactly — stacking [n, N, H, A] puts the tiny
+        # (H, A) dims in the minor tiled positions and inflates HBM
+        # ~20x, which OOMs the chip on the 8191-node 2x3f tree.
         def body(st, i):
-            samp = solver.sampling_strategy(st)
+            samp = solver.sampling_strategy(st).reshape(-1)
             return solver.step(st, (start + i) % 2, root), samp
 
         state, samps = jax.lax.scan(body, state, jnp.arange(n))
@@ -84,6 +90,11 @@ def full_solve(
 
     trajectory = []
     iterates = []
+    # Cap the device-resident iterate stack per collect call to ~256 MB
+    # (power-of-2 block so the jitted chunk sees a bounded shape set).
+    flat = ctx.N * ctx.H * ctx.A * jnp.dtype(dtype).itemsize
+    collect_block = max(1, min(512, int(2 ** np.floor(np.log2(
+        max(1, (256 << 20) // flat))))))
     checkpoints = sorted(
         {1 << k for k in range(params.num_iters.bit_length())}
         | {params.num_iters}
@@ -92,12 +103,15 @@ def full_solve(
     it = 0
     for target in checkpoints:
         if collect_iterates and params.use_cfr:
-            state, samps = run_chunk_collect(state, it, target - it)
-            samps = np.asarray(samps)
-            # Even absolute iterations only (recursive_eval.cc:285-287).
-            offset = (-it) % 2
-            iterates.extend(samps[offset::2])
-            it = target
+            while it < target:
+                n = min(collect_block, target - it)
+                state, samps = run_chunk_collect(state, it, n)
+                samps = np.asarray(samps)
+                # Even absolute iterations only
+                # (recursive_eval.cc:285-287).
+                offset = (-it) % 2
+                iterates.extend(samps[offset::2])
+                it += n
         else:
             state = run_chunk(state, it, target - it)
             it = target
@@ -134,23 +148,28 @@ def acting_player_reach(
     return np.where(player[:, None], np.asarray(r1), np.asarray(r0))
 
 
+@partial(jax.jit, static_argnums=0)
+def _acting_player_reach_one(ctx: SolverContext, s) -> jnp.ndarray:
+    # Module-level jit (keyed on the hashable ctx): defining this inside
+    # acting_player_reach_batch would re-trace per call/chunk.
+    root = RootCtx.concrete(ctx.tree)
+    beliefs = uniform_beliefs(ctx.game, ctx.dtype)
+    player = jnp.asarray((ctx.tree.depth % 2).astype(bool))
+    r0 = ctx.compute_reaches(s, beliefs[0], 0, root)
+    r1 = ctx.compute_reaches(s, beliefs[1], 1, root)
+    return jnp.where(player[:, None], r1, r0)
+
+
 def acting_player_reach_batch(
     ctx: SolverContext, strategies: np.ndarray
 ) -> np.ndarray:
     """[R, N, H, A] -> [R, N, H] acting-player reach per repeat (device
     batched version of :func:`acting_player_reach`)."""
-    root = RootCtx.concrete(ctx.tree)
-    beliefs = uniform_beliefs(ctx.game, ctx.dtype)
-    player = jnp.asarray((ctx.tree.depth % 2).astype(bool))
-
-    @jax.jit
-    def one(s):
-        r0 = ctx.compute_reaches(s, beliefs[0], 0, root)
-        r1 = ctx.compute_reaches(s, beliefs[1], 1, root)
-        return jnp.where(player[:, None], r1, r0)
-
     return np.stack(
-        [np.asarray(one(jnp.asarray(s, ctx.dtype))) for s in strategies]
+        [
+            np.asarray(_acting_player_reach_one(ctx, jnp.asarray(s, ctx.dtype)))
+            for s in strategies
+        ]
     )
 
 
@@ -195,9 +214,17 @@ def sampled_eval(
     def strat_reach_chunks():
         if batched:
             from rebel_tpu.eval.recursive import (
+                Grid2FrontierSolver,
                 compute_sampled_strategies_to_leaf_batch,
             )
 
+            # One frontier solver across all seed blocks: its jitted
+            # vmapped solve (one compile per lane-shape) is the
+            # expensive thing; rebuilding it per block would re-trace
+            # and re-compile every shape each time.
+            fsolver = Grid2FrontierSolver(
+                game, sub_params, dtype, value_fn
+            )
             # Uniform full-size seed blocks: the power-of-2 report
             # boundaries are taken by per-seed accumulation below, so
             # there is no need for small device batches (whose varying
@@ -205,7 +232,8 @@ def sampled_eval(
             for lo in range(0, num_repeats, max_chunk):
                 seeds = list(range(lo, min(lo + max_chunk, num_repeats)))
                 strats = compute_sampled_strategies_to_leaf_batch(
-                    game, sub_params, value_fn, seeds, dtype=dtype
+                    game, sub_params, value_fn, seeds, dtype=dtype,
+                    fsolver=fsolver,
                 ).astype(np.float32)
                 reaches = acting_player_reach_batch(ctx, strats).astype(
                     np.float32
@@ -282,8 +310,15 @@ def run_eval(
     mdp_depth: int = 2,
     dtype=jnp.float64,
     partial_path: str | pathlib.Path | None = None,
+    regret_summary_report: bool = True,
 ) -> dict:
     """Full recursive_eval flow; returns the XXX/YYY-equivalent dict.
+
+    ``regret_summary_report=False`` skips collecting CFR iterates for
+    the immediate-regret summary (the reference's --print_regret_summary
+    defaults to off, recursive_eval.cc:203-204) — worth it on big games
+    over a slow device link, where streaming every even iterate to the
+    host costs real wall-clock.
 
     ``partial_path`` (if given) receives an atomically-rewritten JSON
     snapshot of the result after phase 1 and after every power-of-2
@@ -301,7 +336,8 @@ def run_eval(
         tmp.replace(p)
 
     full_strategy, trajectory, iterates = full_solve(
-        game, params, dtype, collect_iterates=params.use_cfr
+        game, params, dtype,
+        collect_iterates=params.use_cfr and regret_summary_report,
     )
     ctx = full_tree_context(game, dtype)
     e0, e1 = compute_exploitability2(ctx, full_strategy)
@@ -310,11 +346,20 @@ def run_eval(
     regret_summary = None
     if iterates:
         from rebel_tpu.solving.exploitability import (
-            compute_immediate_regrets,
+            immediate_regret_summary,
         )
 
+        # Stream fixed-size blocks so device memory stays bounded at one
+        # block however many iterates the solve produced.
+        block = 64
         regs = np.asarray(
-            compute_immediate_regrets(ctx, np.stack(iterates))
+            immediate_regret_summary(
+                ctx,
+                (
+                    np.stack(iterates[i : i + block])
+                    for i in range(0, len(iterates), block)
+                ),
+            )
         )
         regret_summary = {
             "max": float(regs.max()),

@@ -91,7 +91,12 @@ def launch_local(
                     _kill_procs([q.pid for q in procs])
             time.sleep(0.5)
         return rc
-    except (KeyboardInterrupt, SystemExit):
+    except BaseException:
+        # Any failure — interrupt, a Popen/open OSError mid-spawn, an
+        # unexpected bug — must not leave already-spawned children
+        # orphaned in jax.distributed.initialize waiting for peers that
+        # will never join (their PIDs are only persisted to jobs.json
+        # after the full spawn loop, so kill mode couldn't find them).
         _kill_procs([p.pid for p in procs])
         raise
     finally:

@@ -646,6 +646,18 @@ class Trainer:
                     with open(tmp, "wb") as f:
                         pickle.dump(host["params"], f)
                     tmp.replace(ckpt_dir / f"epoch{epoch}.params")
+                    # Retention, as on the single-process path: keep
+                    # the last keep_checkpoints resumable state files
+                    # (.params exports are small and all kept).
+                    if cfg.keep_checkpoints:
+                        spmd = sorted(
+                            ckpt_dir.glob("epoch*.spmd.ckpt"),
+                            key=lambda p: int(
+                                p.name.split(".")[0][5:]
+                            ),
+                        )
+                        for old in spmd[: -cfg.keep_checkpoints]:
+                            old.unlink()
             all_metrics.append(metrics)
         return state, all_metrics
 

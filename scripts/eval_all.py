@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--mdp-depth", type=int, default=2)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument(
+        "--no-regrets", action="store_true",
+        help="skip the CFR immediate-regret summary (the reference's "
+        "--print_regret_summary default; saves the iterate download "
+        "on big games)")
     ap.add_argument("--out", default="eval_all_results.json")
     args = ap.parse_args()
     if args.platform:
@@ -115,6 +120,7 @@ def main():
                 mdp_depth=args.mdp_depth,
                 dtype=dtype,
                 partial_path=f"{args.out}.{gstr}-{solver}.partial",
+                regret_summary_report=not args.no_regrets,
             )
             rows.append(
                 {

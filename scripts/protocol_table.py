@@ -41,17 +41,27 @@ def main() -> None:
     rows = list(best.values())
     # Leftover streaming snapshots from timeout-killed evals
     # (<out>.<game>-<solver>.partial, written by scripts/eval_all.py):
-    # surface them as annotated rows rather than dropping the work.
-    seen = {(r["game"], r["solver"].split(" ")[0]) for r in rows}
+    # surface them as annotated rows rather than dropping the work.  A
+    # partial still wins over a complete row with *fewer* repeats (e.g.
+    # a 512-repeat snapshot of a killed 1024-rep rerun beats a finished
+    # 256-rep run).
+    best_reps = {
+        (r["game"], r["solver"].split(" ")[0]): r["_max_reps"] for r in rows
+    }
     for path in sorted(glob.glob(args.glob + ".*partial")):
         tag = os.path.basename(path).rsplit(".", 2)[-2]
         if "-" not in tag:
             continue
         gstr, solver = tag.split("-", 1)
-        if (gstr, solver) in seen:
-            continue
         rec = json.load(open(path))
         reps = rec.get("sampled_reports") or []
+        preps = reps[-1]["repeats"] if reps else 0
+        if preps <= best_reps.get((gstr, solver), -1):
+            continue
+        rows = [
+            r for r in rows
+            if (r["game"], r["solver"].split(" ")[0]) != (gstr, solver)
+        ]
         rows.append(
             {
                 "game": gstr,

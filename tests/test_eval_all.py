@@ -99,3 +99,48 @@ def test_run_eval_streams_partial_snapshots(tmp_path):
         result["sampled_reports"][-1]["exploitability"]
     )
     assert len(snap["full_trajectory"]) >= 3
+
+
+def test_protocol_table_partial_beats_lower_repeat_complete(tmp_path):
+    """A streaming partial snapshot with MORE repeats than the best
+    complete run must replace it in the table (a killed 1024-rep rerun
+    at 512 repeats beats a finished 256-rep run); with FEWER repeats it
+    must stay hidden."""
+    def rec(reps):
+        return {
+            "full_tree": 0.05,
+            "sampled_reports": [
+                {"repeats": r, "e0": 0.0, "e1": 0.0,
+                 "exploitability": 0.01, "ev_full": 0.0}
+                for r in [2 ** k for k in range(reps.bit_length())]
+                if r <= reps
+            ],
+            "full_trajectory": [{"iter": 1, "e0": 0, "e1": 0, "sum": 0}],
+        }
+
+    out = tmp_path / "eval_x.json"
+    out.write_text(json.dumps([
+        {"game": "2x3", "solver": "fp", "net": "n", "rebel": 0.01,
+         **rec(256)}
+    ]))
+    (tmp_path / "eval_x.json.2x3-fp.partial").write_text(
+        json.dumps({"partial": True, "exploitability":
+                    {"full_tree": 0.05}, **rec(512)})
+    )
+    (tmp_path / "eval_x.json.2x3-cfr.partial").write_text(
+        json.dumps({"partial": True, "exploitability":
+                    {"full_tree": 0.002}, **rec(8)})
+    )
+    table = tmp_path / "T.md"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "protocol_table.py"),
+         "--glob", str(out), "--out", str(table)],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    text = table.read_text()
+    # fp: the 512-rep partial supersedes the 256-rep complete row.
+    assert "fp (partial, 512 reps)" in text
+    assert "fp (256 reps)" not in text
+    # cfr: no complete row at all -> the 8-rep partial is surfaced.
+    assert "cfr (partial, 8 reps)" in text

@@ -172,6 +172,53 @@ def test_cfr_immediate_regrets():
     assert regrets.max() <= 1e-2
 
 
+def test_immediate_regret_streaming_matches_one_shot():
+    # The streaming block API (used by run_eval so device memory stays
+    # bounded on big trees) must equal the one-shot computation.
+    from rebel_tpu.solving.exploitability import immediate_regret_summary
+
+    game = LiarsDice(num_dice=1, num_faces=2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=1000, use_cfr=True, linear_update=True
+    )
+    ctx = full_tree_context(game, DT)
+    solver = build_solver(ctx, params)
+    root = RootCtx.concrete(ctx.tree)
+    state = solver.init(root, uniform_beliefs(game, DT))
+    strategies = []
+    for it in range(params.num_iters):
+        strategies.append(np.asarray(state.last_strategies))
+        state = solver.step(state, it % 2, root)
+    stack = np.stack(strategies[::2])
+    one_shot = np.asarray(compute_immediate_regrets(ctx, stack))
+    flat = stack.reshape(stack.shape[0], -1)
+    streamed = np.asarray(
+        immediate_regret_summary(
+            ctx, (flat[i : i + 3] for i in range(0, flat.shape[0], 3))
+        )
+    )
+    np.testing.assert_allclose(streamed, one_shot, rtol=1e-12, atol=0)
+
+
+def test_full_solve_cfr_iterates_flat_and_bounded():
+    # full_solve(collect_iterates=True) returns flattened even-iteration
+    # sampling strategies (the memory-bounded collection path that the
+    # 2x3f protocol eval needs).
+    from rebel_tpu.eval.recursive_eval import full_solve
+
+    game = LiarsDice(num_dice=1, num_faces=2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=1000, use_cfr=True, linear_update=True
+    )
+    ctx = full_tree_context(game, DT)
+    _, trajectory, iterates = full_solve(
+        game, params, DT, progress=False, collect_iterates=True
+    )
+    assert len(iterates) == params.num_iters // 2
+    assert all(i.shape == (ctx.N * ctx.H * ctx.A,) for i in iterates)
+    assert trajectory[-1]["iter"] == params.num_iters
+
+
 # --------------------------------------------------------------- zero sum
 def test_fp_ev_zero_sum():
     # subgame_solving_test.cc:227-244

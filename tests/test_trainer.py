@@ -352,3 +352,26 @@ replay:
     assert tc.dump_dataset_every_epochs == 200
     assert tc.env.num_faces == 4 and tc.env.subgame_params.num_iters == 1024
     assert tc.max_epochs == 10000 and tc.grad_clip == 5.0
+
+
+def test_run_spmd_checkpoint_retention(tmp_path):
+    """run_spmd prunes epoch<N>.spmd.ckpt down to keep_checkpoints (same
+    policy as the single-process path); .params exports are all kept."""
+    cfg = small_cfg(
+        selfplay_batch=8,
+        train_batch_size=8,
+        train_epoch_size=8,
+        replay_capacity=512,
+        checkpoint_every=1,
+        keep_checkpoints=2,
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path)
+    trainer.run_spmd(max_epochs=5, resume=False)
+    spmd = sorted(
+        (tmp_path / "ckpt").glob("epoch*.spmd.ckpt"),
+        key=lambda p: int(p.name.split(".")[0][5:]),
+    )
+    assert [p.name for p in spmd] == [
+        "epoch3.spmd.ckpt", "epoch4.spmd.ckpt"
+    ]
+    assert len(list((tmp_path / "ckpt").glob("epoch*.params"))) == 5
