@@ -41,7 +41,8 @@ REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.j
 def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
             layout: str = "batch_last", no_net: bool = False,
             lane_block: int = 128, mlp_chunks: int = 1,
-            ablate: str = "", gelu: str = "auto", use_cfr: bool = True):
+            ablate: str = "", gelu: str = "auto", use_cfr: bool = True,
+            interleave: int = 1):
     from rebel_tpu.nets.cfv_net import CFVNetSpec
     from rebel_tpu.selfplay.fast_runner import FastBatchedEngine, make_engine
     from rebel_tpu.selfplay.runner import EpisodeState, RecursiveSolvingParams
@@ -68,7 +69,7 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
         engine = FastPallasEngine(
             cfg=cfg, dtype=jnp.float32, net_compute_dtype=spec_dtype,
             lane_block=lane_block, mlp_chunks=mlp_chunks, ablate=ablate,
-            gelu=gelu,
+            gelu=gelu, interleave=interleave,
         )
     else:
         engine = make_engine(cfg, dtype=jnp.float32)
@@ -142,6 +143,10 @@ def main():
     # 256 lanes per program, MLP in 4 column chunks.
     ap.add_argument("--lane-block", type=int, default=256)
     ap.add_argument("--mlp-chunks", type=int, default=4)
+    ap.add_argument(
+        "--interleave", type=int, default=1,
+        help="2 = software-pipeline two half lane-blocks to overlap the "
+        "MLP (MXU) with the solve update (VPU); CFR+net only")
     ap.add_argument("--ablate", default="",
                     choices=("", "nogelu", "noln", "cheaperf"),
                     help="kernel perf diagnostics (see Grid2PallasSolver)")
@@ -156,6 +161,7 @@ def main():
         args.batch, args.num_iters, args.steps = 64, 32, 2
 
     kw = dict(no_net=args.no_net, lane_block=args.lane_block,
+              interleave=args.interleave,
               mlp_chunks=args.mlp_chunks, ablate=args.ablate,
               gelu=args.gelu, use_cfr=not args.fp)
     if args.profile:

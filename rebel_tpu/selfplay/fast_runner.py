@@ -324,6 +324,7 @@ class FastPallasEngine:
     mlp_chunks: int = 1
     gelu: str = "auto"
     ablate: str = ""
+    interleave: int = 1
     interpret: bool = False
 
     wants_params = True
@@ -345,6 +346,7 @@ class FastPallasEngine:
             mlp_chunks=self.mlp_chunks,
             gelu=self.gelu,
             ablate=self.ablate,
+            interleave=self.interleave,
             interpret=self.interpret,
         )
         k_solve = jax.vmap(lambda k: jax.random.split(k, 4)[0])(keys)

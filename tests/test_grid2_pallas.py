@@ -113,3 +113,37 @@ def test_pallas_engine_matches_fast_engine():
     np.testing.assert_allclose(
         np.asarray(out_p.queries), np.asarray(out_f.queries), atol=1e-6
     )
+
+
+def test_pallas_interleave_matches_single_block():
+    """interleave=2 (software-pipelined half-blocks) must match
+    interleave=1 to f32 ulp noise: per-lane math is identical, but the
+    MLP gemm's accumulation blocking varies with the column count
+    (P*LB vs P*LB/2), so single-ulp differences are expected."""
+    game = LiarsDice(num_dice=1, num_faces=4)
+    params = SubgameSolvingParams(
+        num_iters=9, max_depth=2, linear_update=True, use_cfr=True
+    )
+    spec = CFVNetSpec(game=game, n_hidden=16, n_layers=2)
+    net_params = spec.init_params(jax.random.PRNGKey(2))
+
+    B = 8
+    rng = np.random.RandomState(7)
+    bids = np.array([-1, 0, 2, 5, -1, 3, 6, game.num_actions - 2], np.int32)
+    players = np.array([0, 1, 0, 1, 1, 0, 1, 0], np.int32)
+    beliefs = rng.dirichlet(np.ones(game.num_hands), size=(B, 2)).astype(
+        np.float32
+    )
+    t_stop = np.array([0, 3, 9, 7, 5, 1, 8, 2], np.int32)
+
+    base = Grid2PallasSolver(
+        game=game, params=params, lane_block=B, interpret=True
+    ).solve(bids, players, beliefs, t_stop, net_params)
+    inter = Grid2PallasSolver(
+        game=game, params=params, lane_block=B, interleave=2, interpret=True
+    ).solve(bids, players, beliefs, t_stop, net_params)
+
+    for a, b in zip(base, inter):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, rtol=1e-5
+        )
