@@ -185,8 +185,17 @@ def sampled_eval(
     batched: bool | None = None,
     max_chunk: int | None = None,
     on_report: Callable[[list], None] | None = None,
+    acc_path: str | pathlib.Path | None = None,
+    acc_sig: str = "",
+    resume: bool = False,
 ):
     """Phase 2: reach-weighted average of sampled recursive strategies.
+
+    ``acc_path`` (if given) receives an atomic .npz snapshot of the
+    reach-weighted accumulator after every power-of-2 report; with
+    ``resume=True`` a matching snapshot (same ``acc_sig``) is loaded and
+    the seed loop continues from where it stopped — per-seed results are
+    deterministic in the seed index, so the resumed run is exact.
 
     ``batched`` (default: auto, on when ``mdp_depth == 2``) runs repeats
     as device lane batches via
@@ -210,6 +219,37 @@ def sampled_eval(
     summed_reach = None
     reports = []
     done = 0
+    if acc_path is not None:
+        acc_path = pathlib.Path(acc_path)
+    if resume and acc_path is not None and acc_path.exists():
+        try:
+            z = np.load(acc_path, allow_pickle=False)
+            if str(z["sig"]) == acc_sig and int(z["done"]) <= num_repeats:
+                summed_strategy = z["strategy"]
+                summed_reach = z["reach"]
+                done = int(z["done"])
+                reports = json.loads(str(z["reports"]))
+                log.info("resuming sampled eval at %d repeats", done)
+            else:
+                log.warning(
+                    "accumulator %s does not match (sig %r vs %r); "
+                    "starting fresh", acc_path, str(z["sig"]), acc_sig,
+                )
+        except Exception as e:  # corrupt snapshot: start fresh
+            log.warning("could not load accumulator %s (%s)", acc_path, e)
+
+    def save_acc():
+        if acc_path is None:
+            return
+        tmp = acc_path.with_name(acc_path.name + ".tmp.npz")
+        with open(tmp, "wb") as f:
+            np.savez(
+                f, strategy=summed_strategy, reach=summed_reach,
+                done=done, reports=json.dumps(reports), sig=acc_sig,
+            )
+        tmp.replace(acc_path)
+
+    start = done
 
     def strat_reach_chunks():
         if batched:
@@ -229,7 +269,7 @@ def sampled_eval(
             # boundaries are taken by per-seed accumulation below, so
             # there is no need for small device batches (whose varying
             # shapes each cost a TPU compile).
-            for lo in range(0, num_repeats, max_chunk):
+            for lo in range(start, num_repeats, max_chunk):
                 seeds = list(range(lo, min(lo + max_chunk, num_repeats)))
                 strats = compute_sampled_strategies_to_leaf_batch(
                     game, sub_params, value_fn, seeds, dtype=dtype,
@@ -240,7 +280,7 @@ def sampled_eval(
                 )
                 yield strats, reaches
         else:
-            for rep in range(num_repeats):
+            for rep in range(start, num_repeats):
                 strat = compute_sampled_strategy_recursive_to_leaf(
                     game, sub_params, value_fn, seed=rep, dtype=dtype
                 ).astype(np.float32)[None]
@@ -279,6 +319,7 @@ def sampled_eval(
                     ev_full_0=ev0, ev_full_1=ev1, ev_full=(ev0 + ev1) / 2
                 )
             reports.append(report)
+            save_acc()
             if on_report is not None:
                 on_report(reports)
             if progress:
@@ -311,6 +352,7 @@ def run_eval(
     dtype=jnp.float64,
     partial_path: str | pathlib.Path | None = None,
     regret_summary_report: bool = True,
+    resume: bool = False,
 ) -> dict:
     """Full recursive_eval flow; returns the XXX/YYY-equivalent dict.
 
@@ -391,10 +433,21 @@ def run_eval(
             ]["exploitability"]
             write_partial(partial)
 
+        acc_sig = (
+            f"{game.num_dice}x{game.num_faces}-"
+            f"{'cfr' if params.use_cfr else 'fp'}-{subgame_iters}-"
+            f"{num_repeats}"
+        )
         final, reports = sampled_eval(
             game, params, value_fn, num_repeats, full_strategy,
             mdp_depth, dtype,
             on_report=stream if partial_path is not None else None,
+            acc_path=(
+                str(partial_path) + ".acc.npz"
+                if partial_path is not None else None
+            ),
+            acc_sig=acc_sig,
+            resume=resume,
         )
         last = reports[-1]
         results[f"repeated toleaf {num_repeats}"] = last["exploitability"]

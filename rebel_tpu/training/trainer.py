@@ -92,6 +92,11 @@ class TrainerConfig:
     # Full-state checkpoints retained (params-only exports are kept
     # forever; full-state ones embed the replay buffer and are large).
     keep_checkpoints: int = 3
+    # Abort the process (exit 87, STALLED marker) if no epoch completes
+    # within this window — a wedged remote-device tunnel blocks the
+    # loop in an uninterruptible native wait, so a hard exit is the
+    # only way back to the launcher (utils/watchdog.py). 0 = off.
+    stall_timeout_s: float = 0.0
     exploit_every: int = 20
     exploit: bool = True
     # eval_mse/{net_reach,fp_reach} diagnostics during exploit evals
@@ -342,9 +347,13 @@ class Trainer:
         while int(state.replay.size) < 2 * batch:
             state = self._gen(state)
 
+        from rebel_tpu.utils.watchdog import StallWatchdog
+
+        wd = StallWatchdog(cfg.stall_timeout_s, self.out_dir).start()
         all_metrics = []
         val_sets: list[tuple[str, np.ndarray, np.ndarray]] = []
         for epoch in range(int(state.epoch), max_epochs):
+            wd.alive(epoch)
             t_epoch = time.time()
             # Validation snapshots from the replay buffer
             # (selfplay.py:352-362).
@@ -447,6 +456,7 @@ class Trainer:
             with open(metrics_path, "a") as f:
                 f.write(json.dumps(metrics) + "\n")
             all_metrics.append(metrics)
+        wd.stop()
         return state, all_metrics
 
     def _gen(self, state: TrainState) -> TrainState:
@@ -552,7 +562,13 @@ class Trainer:
             )
             state = state._replace(episodes=eps, replay=rep, keys=keys)
 
+        from rebel_tpu.utils.watchdog import StallWatchdog
+
+        wd = StallWatchdog(
+            cfg.stall_timeout_s, self.out_dir, what="spmd-train"
+        ).start()
         for epoch in range(start_epoch, max_epochs):
+            wd.alive(epoch)
             t0 = time.time()
             # Gen throttle relative to the resume point: the ring
             # restarts empty, so the cumulative target must not demand
@@ -659,6 +675,7 @@ class Trainer:
                         for old in spmd[: -cfg.keep_checkpoints]:
                             old.unlink()
             all_metrics.append(metrics)
+        wd.stop()
         return state, all_metrics
 
     def _epoch_metrics(self, state, stats, epoch):

@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--f32", action="store_true")
     ap.add_argument(
+        "--resume", action="store_true",
+        help="continue a killed phase-2 eval from its streamed "
+        "accumulator snapshot (<out>.<game>-<solver>.partial.acc.npz); "
+        "exact, since per-seed strategies are deterministic in the "
+        "seed index")
+    ap.add_argument(
         "--no-regrets", action="store_true",
         help="skip the CFR immediate-regret summary (the reference's "
         "--print_regret_summary default; saves the iterate download "
@@ -121,6 +127,7 @@ def main():
                 dtype=dtype,
                 partial_path=f"{args.out}.{gstr}-{solver}.partial",
                 regret_summary_report=not args.no_regrets,
+                resume=args.resume,
             )
             rows.append(
                 {
@@ -148,6 +155,11 @@ def main():
             p = pathlib.Path(f"{args.out}.{gstr}-{solver}.partial")
             if p.exists():
                 p.unlink()
+            acc = pathlib.Path(
+                f"{args.out}.{gstr}-{solver}.partial.acc.npz"
+            )
+            if acc.exists():
+                acc.unlink()
 
     # Pivot table (eval_all.py:124-158).
     print(f"\n{'game':>6} {'solver':>6} {'full_tree':>12} {'rebel':>12}")

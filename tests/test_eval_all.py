@@ -144,3 +144,54 @@ def test_protocol_table_partial_beats_lower_repeat_complete(tmp_path):
     assert "fp (256 reps)" not in text
     # cfr: no complete row at all -> the 8-rep partial is surfaced.
     assert "cfr (partial, 8 reps)" in text
+
+
+def test_sampled_eval_resume_matches_uninterrupted(tmp_path):
+    """A phase-2 eval killed after N repeats and resumed from its
+    accumulator snapshot must produce exactly the same final strategy
+    and reports as one uninterrupted run (seeds are deterministic in
+    the repeat index)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rebel_tpu.eval.recursive_eval import sampled_eval
+    from rebel_tpu.games.liars_dice import LiarsDice
+    from rebel_tpu.nets.value_nets import zero_value_fn
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    game = LiarsDice(1, 2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=2, linear_update=True, use_cfr=True
+    )
+    vf = zero_value_fn(game)
+    acc = tmp_path / "acc.npz"
+
+    full, full_reports = sampled_eval(
+        game, params, vf, 8, None, 2, jnp.float32, progress=False
+    )
+    # "Killed" run: 4 repeats, snapshotting to acc.
+    sampled_eval(
+        game, params, vf, 4, None, 2, jnp.float32, progress=False,
+        acc_path=acc, acc_sig="t", max_chunk=2,
+    )
+    assert acc.exists()
+    # Resume to 8.
+    res, res_reports = sampled_eval(
+        game, params, vf, 8, None, 2, jnp.float32, progress=False,
+        acc_path=acc, acc_sig="t", resume=True, max_chunk=2,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(res))
+    assert [r["repeats"] for r in res_reports] == [
+        r["repeats"] for r in full_reports
+    ]
+    for a, b in zip(res_reports, full_reports):
+        assert a["exploitability"] == b["exploitability"]
+    # Mismatched signature refuses the snapshot and starts fresh.
+    res2, _ = sampled_eval(
+        game, params, vf, 8, None, 2, jnp.float32, progress=False,
+        acc_path=tmp_path / "acc2.npz", acc_sig="other", resume=True,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(res2))
