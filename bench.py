@@ -160,6 +160,36 @@ def main():
     if args.smoke:
         args.batch, args.num_iters, args.steps = 64, 32, 2
 
+    # A dead remote-device tunnel blocks jax.devices() in native code
+    # forever (observed live).  Probe it from a daemon thread so an
+    # unreachable backend produces one explicit JSON error line instead
+    # of a silent hang.
+    import threading
+
+    backend_ok = threading.Event()
+
+    def _probe():
+        try:
+            jax.devices()
+            backend_ok.set()
+        except Exception:
+            pass
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not backend_ok.wait(timeout=240):
+        print(
+            json.dumps(
+                {
+                    "metric": "cfr_subgame_iters_per_s",
+                    "value": None,
+                    "unit": "iters/s",
+                    "vs_baseline": None,
+                    "error": "device backend unreachable after 240s",
+                }
+            )
+        )
+        raise SystemExit(1)
+
     kw = dict(no_net=args.no_net, lane_block=args.lane_block,
               interleave=args.interleave,
               mlp_chunks=args.mlp_chunks, ablate=args.ablate,
