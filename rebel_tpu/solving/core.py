@@ -106,6 +106,31 @@ def normalize_safe(x: jnp.ndarray, eps: float, axis: int = -1) -> jnp.ndarray:
     return x / x.sum(axis=axis, keepdims=True)
 
 
+def cfr_discounts(p, num_strategies, dtype):
+    """``(pos_d, neg_d, strat_d)`` regret/average-strategy discounts for
+    one CFR update — linear CFR or DCFR with the alpha>=5 / beta<=-5
+    clamps (subgame_solving.cc:592-617).  Single source of truth for
+    every engine (generic, grid2, grid2b, the pallas kernel)."""
+    one = jnp.asarray(1.0, dtype)
+    if p.linear_update:
+        d = num_strategies / (num_strategies + 1)
+        return d, d, d
+    if p.dcfr:
+        if p.dcfr_alpha >= 5:
+            pos_d = one
+        else:
+            na = num_strategies**p.dcfr_alpha
+            pos_d = na / (na + 1.0)
+        if p.dcfr_beta <= -5:
+            neg_d = jnp.asarray(0.0, dtype)
+        else:
+            nb = num_strategies**p.dcfr_beta
+            neg_d = nb / (nb + 1.0)
+        strat_d = (num_strategies / (num_strategies + 1)) ** p.dcfr_gamma
+        return pos_d, neg_d, strat_d
+    return one, one, one
+
+
 @dataclasses.dataclass(frozen=True, eq=False)  # identity hash: jit-static
 class SolverContext:
     """Per-(game, tree, dtype) constants baked into solver programs."""

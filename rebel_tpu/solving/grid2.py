@@ -36,6 +36,7 @@ import numpy as np
 
 from rebel_tpu.games.liars_dice import LiarsDice
 from rebel_tpu.solving.core import (
+    cfr_discounts,
     RootCtx,
     ValueFn,
     normalize,
@@ -360,23 +361,7 @@ class Grid2Solver:
         rvm = rvm + tr_onehot[:, None] * (V0[None, :] - rvm) * alpha
 
         num_strategies = n + 1.0
-        one = jnp.asarray(1.0, dt)
-        if p.linear_update:
-            pos_d = neg_d = strat_d = num_strategies / (num_strategies + 1)
-        elif p.dcfr:
-            if p.dcfr_alpha >= 5:
-                pos_d = one
-            else:
-                na = num_strategies**p.dcfr_alpha
-                pos_d = na / (na + 1.0)
-            if p.dcfr_beta <= -5:
-                neg_d = jnp.asarray(0.0, dt)
-            else:
-                nb = num_strategies**p.dcfr_beta
-                neg_d = nb / (nb + 1.0)
-            strat_d = (num_strategies / (num_strategies + 1)) ** p.dcfr_gamma
-        else:
-            pos_d = neg_d = strat_d = one
+        pos_d, neg_d, strat_d = cfr_discounts(p, num_strategies, dt)
 
         eps = regret_eps(dt)
         root_is_trav = root.player == traverser

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from rebel_tpu.games.liars_dice import INITIAL_ACTION, LiarsDice
-from rebel_tpu.solving.core import reach_eps, regret_eps
+from rebel_tpu.solving.core import (
+    cfr_discounts,
+    normalize_safe,
+    reach_eps,
+    regret_eps,
+)
 from rebel_tpu.solving.params import SubgameSolvingParams
 
 
@@ -129,7 +134,7 @@ class Grid2BatchSolver:
         )
 
     # ------------------------------------------------------------ helpers
-    def _win_values(self, bids, opp_mass, B):
+    def _win_values(self, bids, opp_mass):
         """Payoff of challenged ``bids [..., B]`` vs opponent mass
         ``opp_mass [..., H, B]`` -> ``[..., H, B]``."""
         game = self.game
@@ -155,10 +160,6 @@ class Grid2BatchSolver:
         if self.terminal_f32_parity:
             p_win = p_win.astype(jnp.float32).astype(self.dtype)
         return p_win * 2 - opp_mass.sum(-2, keepdims=True)
-
-    def _norm_safe(self, x, eps, axis):
-        x = x + eps
-        return x / x.sum(axis=axis, keepdims=True)
 
     def _leaf_values(self, traverser, root: RootCtxB, beliefs, S0, S1):
         """(val_liar1 [H, B], val2 [A1, A2, H, B])."""
@@ -192,13 +193,13 @@ class Grid2BatchSolver:
 
         lvl1_player = (root.player + 1) % 2  # [B]
         sign1 = jnp.where(lvl1_player == traverser, 1.0, -1.0)[None, :]
-        val_liar1 = sign1 * self._win_values(root.bid, r1_o[liar], B)  # [H,B]
+        val_liar1 = sign1 * self._win_values(root.bid, r1_o[liar])  # [H,B]
 
         sign2 = jnp.where(root.player == traverser, 1.0, -1.0)[None, None, :]
         bids2 = jnp.broadcast_to(
             jnp.arange(A)[:, None], (A, B)
         )  # [A1, B]
-        v2_liar = sign2 * self._win_values(bids2, r2_o[:, liar, :, :], B)
+        v2_liar = sign2 * self._win_values(bids2, r2_o[:, liar, :, :])
 
         liar_col = (jnp.arange(A) == liar).astype(dt)[None, :, None, None]
         val2 = v2_liar[:, None, :, :] * liar_col
@@ -213,8 +214,8 @@ class Grid2BatchSolver:
             reach2_p0 = jnp.where(jnp.asarray(traverser) == 0, r2_t, r2_o)
             reach2_p1 = jnp.where(jnp.asarray(traverser) == 0, r2_o, r2_t)
             eps = reach_eps(dt)
-            b0 = self._norm_safe(reach2_p0, eps, axis=2)  # [A1,A2,H,B]
-            b1 = self._norm_safe(reach2_p1, eps, axis=2)
+            b0 = normalize_safe(reach2_p0, eps, axis=2)  # [A1,A2,H,B]
+            b1 = normalize_safe(reach2_p1, eps, axis=2)
             onehot2 = jnp.broadcast_to(
                 jnp.eye(A, dtype=dt)[None, :, :, None], (A, A, A, B)
             )
@@ -335,17 +336,7 @@ class Grid2BatchSolver:
         rvm = rvm + tr_onehot[:, None, None] * (V0[None] - rvm) * alpha
 
         num_strategies = n + 1.0
-        one = jnp.asarray(1.0, dt)
-        if p.linear_update:
-            pos_d = neg_d = strat_d = num_strategies / (num_strategies + 1)
-        elif p.dcfr:
-            na = num_strategies**p.dcfr_alpha
-            pos_d = one if p.dcfr_alpha >= 5 else na / (na + 1.0)
-            nb = num_strategies**p.dcfr_beta
-            neg_d = jnp.asarray(0.0, dt) if p.dcfr_beta <= -5 else nb / (nb + 1.0)
-            strat_d = (num_strategies / (num_strategies + 1)) ** p.dcfr_gamma
-        else:
-            pos_d = neg_d = strat_d = one
+        pos_d, neg_d, strat_d = cfr_discounts(p, num_strategies, dt)
 
         eps = regret_eps(dt)
         root_is_trav = (root.player == traverser)[None, None, :]  # [1,1,B]

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rebel_tpu.games.liars_dice import INITIAL_ACTION, LiarsDice
-from rebel_tpu.solving.core import reach_eps, regret_eps
+from rebel_tpu.solving.core import cfr_discounts, reach_eps, regret_eps
 from rebel_tpu.solving.params import SubgameSolvingParams
 
 
@@ -82,7 +82,7 @@ class Grid2PallasSolver:
         object.__setattr__(self, "pairs", pl_pairs)  # [P, 2]
 
     # ------------------------------------------------------------- kernel
-    def _kernel(self, net_param_list, m1_ref, matches_ref, payoff_ref,
+    def _kernel(self, net_param_list, net_layout, matches_ref, payoff_ref,
                 bel_ref, bid_ref, player_ref, t_ref,
                 rvm_ref, snap0_ref, snap1_ref):
         game = self.game
@@ -94,7 +94,6 @@ class Grid2PallasSolver:
         dt = jnp.float32
         eps_regret = regret_eps(dt)
         eps_reach = reach_eps(dt)
-        m1f = m1_ref[...]  # [A1, A2] f32 (2D uses only)
         matches_f = matches_ref[...]  # [H, F] f32
 
         FULL_LB = LB
@@ -274,18 +273,28 @@ class Grid2PallasSolver:
             cdt = self.net_compute_dtype
             net_consts = []
             if net_param_list:
+                # net_layout: one bool per hidden layer — True when the
+                # layer carries LayerNorm scale/bias leaves (4 leaves),
+                # False for a plain Linear->GELU layer (2 leaves, the
+                # CFVNet use_layer_norm=False path).
                 i = 0
-                n_layers = (len(net_param_list) - 2) // 4
-                for _ in range(n_layers):
-                    W, b, scale, bias = net_param_list[i : i + 4]
-                    i += 4
+                for has_ln in net_layout:
+                    W, b = net_param_list[i : i + 2]
+                    i += 2
+                    if has_ln:
+                        scale, bias = net_param_list[i : i + 2]
+                        i += 2
+                        scale_col = scale[...].astype(jnp.float32)[:, None]
+                        bias_col = bias[...].astype(jnp.float32)[:, None]
+                    else:
+                        scale_col = bias_col = None
                     # NB: transpose in 32-bit, cast last — Mosaic does not
                     # lower several 16-bit relayout ops.
                     net_consts.append((
                         W[...].T.astype(cdt),
                         b[...].astype(jnp.float32)[:, None],
-                        scale[...].astype(jnp.float32)[:, None],
-                        bias[...].astype(jnp.float32)[:, None],
+                        scale_col,
+                        bias_col,
                     ))
                 W, b = net_param_list[i : i + 2]
                 head_consts = (
@@ -312,6 +321,10 @@ class Grid2PallasSolver:
                         )
                         + b_col
                     )
+                    if scale_col is None:
+                        # Plain Linear->GELU layer (no LayerNorm).
+                        x = act(x)
+                        continue
                     if self.ablate != "noln":
                         # One-pass LN: mean and E[x^2] reduced together,
                         # normalize+affine as two per-element FMAs
@@ -498,28 +511,9 @@ class Grid2PallasSolver:
                 rvm = rvm + tr_onehot * (V0[None] - rvm) * alpha
 
                 num_strategies = n + 1.0
-                if p.linear_update:
-                    pos_d = neg_d = strat_d = num_strategies / (
-                        num_strategies + 1
-                    )
-                elif p.dcfr:
-                    na = num_strategies**p.dcfr_alpha
-                    pos_d = (
-                        jnp.asarray(1.0, dt)
-                        if p.dcfr_alpha >= 5
-                        else na / (na + 1.0)
-                    )
-                    nb = num_strategies**p.dcfr_beta
-                    neg_d = (
-                        jnp.asarray(0.0, dt)
-                        if p.dcfr_beta <= -5
-                        else nb / (nb + 1.0)
-                    )
-                    strat_d = (num_strategies / (num_strategies + 1)) ** (
-                        p.dcfr_gamma
-                    )
-                else:
-                    pos_d = neg_d = strat_d = jnp.asarray(1.0, dt)
+                pos_d, neg_d, strat_d = cfr_discounts(
+                    p, num_strategies, dt
+                )
 
                 root_is_trav = (player == traverser)[None, None, :]
                 lvl1_is_trav = ~root_is_trav
@@ -702,28 +696,9 @@ class Grid2PallasSolver:
                 rvm = rvm + tr_onehot * (V0[None] - rvm) * alpha
 
                 num_strategies = n + 1.0
-                if p.linear_update:
-                    pos_d = neg_d = strat_d = num_strategies / (
-                        num_strategies + 1
-                    )
-                elif p.dcfr:
-                    na = num_strategies**p.dcfr_alpha
-                    pos_d = (
-                        jnp.asarray(1.0, dt)
-                        if p.dcfr_alpha >= 5
-                        else na / (na + 1.0)
-                    )
-                    nb = num_strategies**p.dcfr_beta
-                    neg_d = (
-                        jnp.asarray(0.0, dt)
-                        if p.dcfr_beta <= -5
-                        else nb / (nb + 1.0)
-                    )
-                    strat_d = (num_strategies / (num_strategies + 1)) ** (
-                        p.dcfr_gamma
-                    )
-                else:
-                    pos_d = neg_d = strat_d = jnp.asarray(1.0, dt)
+                pos_d, neg_d, strat_d = cfr_discounts(
+                    p, num_strategies, dt
+                )
 
                 root_is_trav = (player == traverser)[None, None, :]
                 lvl1_is_trav = ~root_is_trav
@@ -825,6 +800,7 @@ class Grid2PallasSolver:
 
         # Flatten net params into a fixed-order leaf list.
         leaves = []
+        net_layout = []  # True per hidden layer with LayerNorm leaves
         if net_params is not None:
             pp = net_params["params"]
             k = 0
@@ -833,12 +809,16 @@ class Grid2PallasSolver:
                 is_head = f"Dense_{k + 1}" not in pp
                 leaves.append(d["kernel"])
                 leaves.append(d["bias"])
-                if not is_head and f"LayerNorm_{k}" in pp:
-                    ln = pp[f"LayerNorm_{k}"]
-                    leaves.append(ln["scale"])
-                    leaves.append(ln["bias"])
+                if not is_head:
+                    has_ln = f"LayerNorm_{k}" in pp
+                    net_layout.append(has_ln)
+                    if has_ln:
+                        ln = pp[f"LayerNorm_{k}"]
+                        leaves.append(ln["scale"])
+                        leaves.append(ln["bias"])
                 k += 1
         n_net = len(leaves)
+        net_layout = tuple(net_layout)
 
         bel_bl = jnp.moveaxis(
             jnp.asarray(beliefs, jnp.float32), 0, -1
@@ -846,10 +826,10 @@ class Grid2PallasSolver:
 
         def kernel(*refs):
             net_refs = refs[:n_net]
-            (m1_ref, matches_ref, payoff_ref, bel_ref, bid_ref,
+            (matches_ref, payoff_ref, bel_ref, bid_ref,
              player_ref, t_ref, rvm_ref, snap0_ref, snap1_ref) = refs[n_net:]
             self._kernel(
-                list(net_refs), m1_ref, matches_ref, payoff_ref,
+                list(net_refs), net_layout, matches_ref, payoff_ref,
                 bel_ref, bid_ref, player_ref, t_ref,
                 rvm_ref, snap0_ref, snap1_ref,
             )
@@ -864,7 +844,7 @@ class Grid2PallasSolver:
         rvm, snap0, snap1 = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[full_spec] * (n_net + 3)
+            in_specs=[full_spec] * (n_net + 2)
             + [
                 lane_spec(2, H),
                 lane_spec(1),
@@ -891,7 +871,6 @@ class Grid2PallasSolver:
             interpret=self.interpret,
         )(
             *leaves,
-            jnp.asarray(self.m1_np, jnp.float32),
             jnp.asarray(game.matches_table, jnp.float32),
             jnp.concatenate(
                 [

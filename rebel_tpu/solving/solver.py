@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from rebel_tpu.solving.core import (
+    cfr_discounts,
     RootCtx,
     SolverContext,
     ValueFn,
@@ -135,23 +136,7 @@ class CFR:
 
         # --- discounts (subgame_solving.cc:592-617)
         num_strategies = n + 1.0  # uniform counts as one strategy
-        one = jnp.asarray(1.0, dt)
-        if p.linear_update:
-            pos_d = neg_d = strat_d = num_strategies / (num_strategies + 1)
-        elif p.dcfr:
-            if p.dcfr_alpha >= 5:
-                pos_d = one
-            else:
-                na = num_strategies**p.dcfr_alpha
-                pos_d = na / (na + 1.0)
-            if p.dcfr_beta <= -5:
-                neg_d = jnp.asarray(0.0, dt)
-            else:
-                nb = num_strategies**p.dcfr_beta
-                neg_d = nb / (nb + 1.0)
-            strat_d = (num_strategies / (num_strategies + 1)) ** p.dcfr_gamma
-        else:
-            pos_d = neg_d = strat_d = one
+        pos_d, neg_d, strat_d = cfr_discounts(p, num_strategies, dt)
 
         # --- regret matching (subgame_solving.cc:619-634)
         actor_row = (

@@ -95,6 +95,7 @@ int main(int argc, char** argv) {
   }
 
   auto solver = build_solver(game, root, beliefs, params, nullptr);
+  std::vector<TreeStrategy> iterates;  // even-iteration sampling strategies
   printf("{\"game\":[%d,%d],\"num_iters\":%d,\"use_cfr\":%d,\"linear\":%d,",
          num_dice, num_faces, num_iters, use_cfr, linear);
   printf("\"optimistic\":%d,\"dcfr\":%d,", optimistic, dcfr);
@@ -104,6 +105,8 @@ int main(int argc, char** argv) {
   bool first = true;
   bool full_tree = root_bid == -1 && beliefs_arg.empty();
   for (int it = 0; it < num_iters; ++it) {
+    if (use_cfr && it % 2 == 0)
+      iterates.push_back(solver->get_sampling_strategy());
     solver->step(it % 2);
     if (full_tree && ((it + 1) & it) == 0) {  // power of two
       double e = compute_exploitability(game, solver->get_strategy());
@@ -121,6 +124,19 @@ int main(int argc, char** argv) {
   printf(",\"sampling_strategy\":");
   print_strategy_flat(solver->get_sampling_strategy());
   printf(",\"num_nodes\":%d", (int)solver->get_tree().size());
+  if (!iterates.empty() && root_bid == -1 && beliefs_arg.empty()) {
+    // Immediate regrets of the iterate sequence
+    // (compute_immediate_regrets, subgame_solving.cc:984-1050).
+    auto regs = compute_immediate_regrets(game, iterates);
+    printf(",\"immediate_regrets\":[");
+    bool f = true;
+    for (const auto& node : regs)
+      for (double x : node) {
+        printf("%s%.17g", f ? "" : ",", x);
+        f = false;
+      }
+    printf("]");
+  }
   printf("}\n");
   return 0;
 }
