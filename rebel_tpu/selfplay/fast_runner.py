@@ -13,12 +13,19 @@ walk implementation (:func:`walk_lane`):
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
 
 from rebel_tpu.games.liars_dice import LiarsDice
-from rebel_tpu.solving.core import RootCtx, ValueFn, normalize_safe, reach_eps
+from rebel_tpu.solving.core import (
+    RootCtx,
+    ValueFn,
+    normalize_safe,
+    reach_eps,
+    root_query as core_root_query,
+)
 from rebel_tpu.solving.grid2 import Grid2Solver
 from rebel_tpu.selfplay.runner import (
     EpisodeState,
@@ -28,18 +35,10 @@ from rebel_tpu.selfplay.runner import (
 
 
 def root_query(game: LiarsDice, dtype, beliefs, traverser, root: RootCtx):
-    """The value-net query for the episode's root PBS
-    (subgame_solving.cc:100-123)."""
-    eps = reach_eps(dtype)
-    onehot = (jnp.arange(game.num_actions) == root.bid).astype(dtype)
-    return jnp.concatenate(
-        [
-            jnp.asarray(root.player, dtype)[None],
-            jnp.asarray(traverser, dtype)[None],
-            onehot,
-            normalize_safe(beliefs[0].astype(dtype), eps),
-            normalize_safe(beliefs[1].astype(dtype), eps),
-        ]
+    """The value-net query for the episode's root PBS — delegates to
+    the single shared builder (core.root_query)."""
+    return core_root_query(
+        game, dtype, beliefs, traverser, root.bid, root.player
     )
 
 
@@ -186,8 +185,9 @@ class FastSelfPlayEngine:
         if self.hands_axis:
             # Episode state keeps full-H beliefs (replicated over the
             # hands axis); the solve runs on this shard's hand slice.
-            solver = self._solver(value_fn)
-            beliefs = solver._local_hands(beliefs)
+            from rebel_tpu.solving.grid2 import local_hands
+
+            beliefs = local_hands(self.hands_axis, beliefs)
         state, (p0, p1) = self._solve_with_snapshot(
             root, beliefs, k_solve, value_fn
         )
@@ -341,7 +341,9 @@ class FastPallasEngine:
         solver = Grid2PallasSolver(
             game=self.game,
             params=sub,
-            lane_block=min(self.lane_block, B),
+            # Largest block that divides B (solve requires B % LB == 0);
+            # min() alone breaks on e.g. B=192 with lane_block=128.
+            lane_block=math.gcd(self.lane_block, B),
             net_compute_dtype=self.net_compute_dtype,
             mlp_chunks=self.mlp_chunks,
             gelu=self.gelu,

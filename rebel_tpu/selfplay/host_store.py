@@ -28,8 +28,22 @@ def _load():
     if _lib is not None:
         return _lib
     if not _LIB_PATH.exists():
-        subprocess.run(["make", "-C", str(_CSRC)], check=True,
-                       capture_output=True)
+        # Serialize the on-demand build across processes (pytest-xdist,
+        # the multi-process launcher): the loser of the race must not
+        # dlopen a half-written .so.
+        import fcntl
+
+        lock_path = _CSRC / ".build.lock"
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if not _LIB_PATH.exists():
+                    subprocess.run(
+                        ["make", "-C", str(_CSRC)], check=True,
+                        capture_output=True,
+                    )
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
     lib = ctypes.CDLL(str(_LIB_PATH))
     # replay store
     lib.replay_store_create.restype = ctypes.c_void_p

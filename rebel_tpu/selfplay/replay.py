@@ -72,6 +72,17 @@ def add(
     with priority 1 (rela/data_loop.h:50-55)."""
     K = queries.shape[0]
     C = replay.capacity
+    if K > C:
+        # Keep only the newest C rows (the reference's steady state).
+        # Without this, the scatter below would carry duplicate indices
+        # whose application order XLA leaves implementation-defined —
+        # fine on CPU, not guaranteed on TPU.
+        queries = queries[-C:]
+        values = values[-C:]
+        num_dropped = K - C
+        K = C
+    else:
+        num_dropped = 0
     prio = jnp.broadcast_to(
         jnp.asarray(priority, jnp.float32), (K,)
     ) ** jnp.float32(alpha)
@@ -82,7 +93,7 @@ def add(
         priorities=replay.priorities.at[idx].set(prio),
         head=(replay.head + K) % C,
         size=jnp.minimum(replay.size + K, C),
-        num_add=replay.num_add + K,
+        num_add=replay.num_add + K + num_dropped,
     )
 
 
@@ -110,7 +121,11 @@ def sample_uniform(replay: Replay, key: jax.Array, batch: int) -> Sample:
     return Sample(
         queries=replay.queries[idx],
         values=replay.values[idx],
-        weights=jnp.ones((batch,), jnp.float32),
+        # Weight 0 on an empty buffer so a premature sample (before
+        # burn-in) zeroes the loss instead of training on blank rows.
+        weights=jnp.where(
+            replay.size > 0, 1.0, 0.0
+        ) * jnp.ones((batch,), jnp.float32),
         indices=idx,
     )
 
@@ -133,6 +148,11 @@ def sample_prioritized(
     wi = w[idx]
     size_f = replay.size.astype(jnp.float32)
     iw = (size_f * wi / jnp.maximum(total, 1e-30)) ** (-beta)
+    # wi == 0 (empty buffer, or a zero-priority slot hit at the cumsum
+    # boundary) gives 0**-beta = inf -> NaN after normalization; such
+    # rows carry no probability mass in the reference sampler, so zero
+    # their weight instead.
+    iw = jnp.where(wi > 0, iw, 0.0)
     iw = iw / jnp.maximum(iw.max(), 1e-30)
     return Sample(
         queries=replay.queries[idx],
@@ -176,12 +196,23 @@ def save(replay: Replay, path: str, stride: int = 1) -> int:
     save with stride, prioritized_replay.h:319-327)."""
     q, v = extract(replay)
     q, v = q[::stride], v[::stride]
+    n, qsize, vsize = q.shape[0], q.shape[1], v.shape[1]
+    # One structured array -> one write (a per-row Python loop takes
+    # minutes at production capacities, blocking the epoch loop).
+    rec = np.zeros(
+        n,
+        dtype=[
+            ("qsize", "<i4"), ("vsize", "<i4"),
+            ("q", "<f4", (qsize,)), ("v", "<f4", (vsize,)),
+        ],
+    )
+    rec["qsize"] = qsize
+    rec["vsize"] = vsize
+    rec["q"] = q
+    rec["v"] = v
     with open(path, "wb") as f:
-        for i in range(q.shape[0]):
-            f.write(struct.pack("ii", q.shape[1], v.shape[1]))
-            f.write(q[i].astype("<f4").tobytes())
-            f.write(v[i].astype("<f4").tobytes())
-    return q.shape[0]
+        f.write(rec.tobytes())
+    return n
 
 
 def load_file(path: str, max_size: int | None = None, stride: int = 1):
@@ -203,6 +234,11 @@ def load_file(path: str, max_size: int | None = None, stride: int = 1):
             i += 1
             if max_size is not None and len(qs) >= max_size:
                 break
+    if not qs:
+        raise ValueError(
+            f"dataset dump {path!r} contains no rows (empty or "
+            "truncated before the first record)"
+        )
     return np.stack(qs), np.stack(vs)
 
 

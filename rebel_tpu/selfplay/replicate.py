@@ -25,6 +25,7 @@ from rebel_tpu.games.liars_dice import INITIAL_ACTION, LiarsDice
 from rebel_tpu.selfplay.host_store import ReferenceRng
 from rebel_tpu.selfplay.runner import RecursiveSolvingParams
 from rebel_tpu.solving.core import REACH_EPS_F64, RootCtx
+from rebel_tpu.solving.queries import get_query
 from rebel_tpu.solving.grid2 import Grid2Solver
 
 
@@ -34,15 +35,8 @@ def _normalize_safe(x: np.ndarray, eps: float = REACH_EPS_F64) -> np.ndarray:
 
 
 def _query(game: LiarsDice, traverser, bid, player, beliefs) -> np.ndarray:
-    onehot = (np.arange(game.num_actions) == bid).astype(np.float64)
-    return np.concatenate(
-        [
-            [float(player), float(traverser)],
-            onehot,
-            _normalize_safe(beliefs[0]),
-            _normalize_safe(beliefs[1]),
-        ]
-    ).astype(np.float32)
+    # Single host-side query encoder (queries.get_query).
+    return get_query(game, traverser, bid, player, beliefs[0], beliefs[1])
 
 
 @dataclasses.dataclass
@@ -115,7 +109,6 @@ def replicate_episodes(
             # sample_state_to_leaf (recursive_solving.cc:192-246) /
             # sample_state_single (recursive_solving.cc:248-275).
             br_sampler = rng.uniform_int(0, 1)
-            new_bid, new_player = bid, player
             walk_beliefs = beliefs.copy()
             steps = 2 if cfg.sample_leaf else 1
             cur_bid, cur_player = bid, player

@@ -106,6 +106,25 @@ def normalize_safe(x: jnp.ndarray, eps: float, axis: int = -1) -> jnp.ndarray:
     return x / x.sum(axis=axis, keepdims=True)
 
 
+def root_query(game, dtype, beliefs, traverser, bid, player) -> jnp.ndarray:
+    """[query_size] value-net query for a public state
+    (subgame_solving.cc:100-123) — the SINGLE jit-traceable builder of
+    the training interchange layout, shared by SolverContext and the
+    self-play engines (the host-side encoders live in
+    solving/queries.py and selfplay/replicate.py)."""
+    eps = reach_eps(dtype)
+    onehot = (jnp.arange(game.num_actions) == bid).astype(dtype)
+    return jnp.concatenate(
+        [
+            jnp.asarray(player, dtype)[None],
+            jnp.asarray(traverser, dtype)[None],
+            onehot,
+            normalize_safe(beliefs[0].astype(dtype), eps),
+            normalize_safe(beliefs[1].astype(dtype), eps),
+        ]
+    )
+
+
 def cfr_discounts(p, num_strategies, dtype):
     """``(pos_d, neg_d, strat_d)`` regret/average-strategy discounts for
     one CFR update — linear CFR or DCFR with the alpha>=5 / beta<=-5
@@ -298,17 +317,9 @@ class SolverContext:
     ) -> jnp.ndarray:
         """[query_size] — the training-example query at the subgame root
         (subgame_solving.cc:212-226)."""
-        dt = self.dtype
-        eps = reach_eps(dt)
-        onehot = (jnp.arange(self.A) == root.bid).astype(dt)
-        return jnp.concatenate(
-            [
-                jnp.asarray(root.player, dt)[None],
-                jnp.asarray(traverser, dt)[None],
-                onehot,
-                normalize_safe(beliefs[0].astype(dt), eps),
-                normalize_safe(beliefs[1].astype(dt), eps),
-            ]
+        return root_query(
+            self.game, self.dtype, beliefs, traverser, root.bid,
+            root.player,
         )
 
     def all_leaf_values(

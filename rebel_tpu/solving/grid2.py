@@ -60,6 +60,17 @@ class Grid2State(NamedTuple):
     beliefs: jnp.ndarray  # [2, H]
 
 
+def local_hands(hands_axis, x_full, axis=-1):
+    """Slice a full-H array down to this shard's hand range on the named
+    mesh axis (identity when ``hands_axis`` is falsy)."""
+    if not hands_axis:
+        return x_full
+    n = jax.lax.axis_size(hands_axis)
+    idx = jax.lax.axis_index(hands_axis)
+    h_loc = x_full.shape[axis] // n
+    return jax.lax.dynamic_slice_in_dim(x_full, idx * h_loc, h_loc, axis)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class Grid2Solver:
     """Depth-2 CFR/FP with the action-grid layout.  Covers both solver
@@ -113,13 +124,7 @@ class Grid2Solver:
         return jax.lax.psum(x, self.hands_axis) if self.hands_axis else x
 
     def _local_hands(self, x_full, axis=-1):
-        """Slice a full-H array down to this shard's hand range."""
-        if not self.hands_axis:
-            return x_full
-        n = jax.lax.axis_size(self.hands_axis)
-        idx = jax.lax.axis_index(self.hands_axis)
-        h_loc = x_full.shape[axis] // n
-        return jax.lax.dynamic_slice_in_dim(x_full, idx * h_loc, h_loc, axis)
+        return local_hands(self.hands_axis, x_full, axis)
 
     def _norm_safe(self, x, eps):
         x = x + eps

@@ -151,3 +151,65 @@ def test_replay_save_load_roundtrip(tmp_path):
     r2 = rb.create(capacity=8, query_size=3, num_hands=2)
     r2 = rb.load_into(r2, path)
     assert int(r2.size) == 4
+
+
+def test_replay_overfill_add_keeps_newest():
+    """One add() larger than capacity must retain exactly the newest
+    `capacity` rows (duplicate scatter indices are order-undefined on
+    TPU, so oversize adds are pre-trimmed)."""
+    r = rb.create(4, 2, 2)
+    q = np.arange(14, dtype=np.float32).reshape(7, 2)
+    v = q.copy()
+    r = rb.add(r, jnp.asarray(q), jnp.asarray(v))
+    assert int(r.size) == 4
+    assert int(r.num_add) == 7
+    got_q, got_v = rb.extract(r)
+    np.testing.assert_array_equal(got_q, q[-4:])
+    np.testing.assert_array_equal(got_v, v[-4:])
+
+
+def test_replay_empty_buffer_sampling_is_finite():
+    r = rb.create(8, 2, 2)
+    s = rb.sample_uniform(r, jax.random.PRNGKey(0), 3)
+    np.testing.assert_array_equal(np.asarray(s.weights), 0.0)
+    sp = rb.sample_prioritized(r, jax.random.PRNGKey(0), 3, beta=0.4)
+    w = np.asarray(sp.weights)
+    assert np.isfinite(w).all() and (w == 0).all()
+
+
+def test_replay_empty_dump_raises(tmp_path):
+    p = tmp_path / "empty.bin"
+    p.write_bytes(b"")
+    try:
+        rb.load_file(str(p))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "no rows" in str(e)
+
+
+def test_pallas_engine_nondivisible_batch():
+    """lane_block falls back to gcd(lane_block, B) so any batch size
+    runs (B=6 with lane_block=4 used to assert out)."""
+    from rebel_tpu.nets.cfv_net import CFVNetSpec
+    from rebel_tpu.selfplay.fast_runner import FastPallasEngine
+    from rebel_tpu.selfplay.runner import EpisodeState
+
+    cfg = RecursiveSolvingParams(
+        num_dice=1,
+        num_faces=3,
+        subgame_params=SubgameSolvingParams(
+            num_iters=4, max_depth=2, linear_update=True, use_cfr=True
+        ),
+        random_action_prob=0.25,
+        sample_leaf=True,
+    )
+    eng = FastPallasEngine(
+        cfg=cfg, dtype=jnp.float32, lane_block=4, interpret=True
+    )
+    spec = CFVNetSpec(game=eng.game, n_hidden=8, n_layers=1)
+    params = spec.init_params(jax.random.PRNGKey(0))
+    B = 6
+    eps = EpisodeState.initial_batch(eng.game, B, jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    _, out = eng.batch_step(eps, keys, params)
+    assert np.isfinite(np.asarray(out.values)).all()
