@@ -81,12 +81,20 @@ class BatchSubgameSolver:
             snap_samp = jnp.where(
                 done, solver.sampling_strategy(state), snap_samp
             )
-            # Beliefs at every node under the belief-propagation strategy
-            # (== sampling strategy, subgame_solving.cc:682-688): path
-            # products of the per-node policies == reach probabilities.
-            reach0 = ctx.compute_reaches(snap_samp, beliefs[0], 0, root)
-            reach1 = ctx.compute_reaches(snap_samp, beliefs[1], 1, root)
-            return snap_avg, snap_samp, jnp.stack([reach0, reach1])
+            # Reaches under BOTH candidate belief-propagation strategies
+            # (recursive_solving.cc:96-102): the sampled mode propagates
+            # with get_belief_propogation_strategy (== the sampling
+            # strategy for both solver types), the non-sampled mode with
+            # the AVERAGE strategy — for CFR those differ.
+            r_samp = jnp.stack([
+                ctx.compute_reaches(snap_samp, beliefs[0], 0, root),
+                ctx.compute_reaches(snap_samp, beliefs[1], 1, root),
+            ])
+            r_avg = jnp.stack([
+                ctx.compute_reaches(snap_avg, beliefs[0], 0, root),
+                ctx.compute_reaches(snap_avg, beliefs[1], 1, root),
+            ])
+            return snap_avg, snap_samp, r_samp, r_avg
 
         self_jit = jax.jit(jax.vmap(solve_one))
         object.__setattr__(self, "_solve", self_jit)
@@ -94,8 +102,8 @@ class BatchSubgameSolver:
     def solve(self, bids, players, beliefs, stop_iters=None, chunk: int = 256):
         """bids/players [B], beliefs [B, 2, H], stop_iters [B] (None =
         full solve).  Returns (avg [B,N,H,A], sampling [B,N,H,A],
-        reaches [B,2,N,H]).  Solved in fixed-size padded chunks so one
-        compiled program serves any frontier size."""
+        reaches_sampling [B,2,N,H], reaches_avg [B,2,N,H]).  Solved in
+        power-of-2 padded chunks so the compiled shape set is bounded."""
         B = int(np.shape(bids)[0])
         if stop_iters is None:
             stop_iters = np.full((B,), self.params.num_iters, np.int32)
@@ -104,11 +112,14 @@ class BatchSubgameSolver:
         beliefs = np.asarray(beliefs)
         stop_iters = np.asarray(stop_iters, np.int32)
 
-        chunk = min(chunk, max(B, 1))
         outs = []
         for lo in range(0, B, chunk):
             hi = min(lo + chunk, B)
-            pad = chunk - (hi - lo)
+            # Pad to the next power of two (NOT clamped to B): frontier
+            # sizes vary per recursion level, and compiling one program
+            # per exact size dominates eval wall-clock on TPU.
+            size = 1 << (hi - lo - 1).bit_length()
+            pad = size - (hi - lo)
             sl = slice(lo, hi)
             pad_rows = lambda x: np.concatenate(
                 [x[sl]] + ([x[lo : lo + 1]] * pad if pad else []), axis=0
@@ -121,8 +132,18 @@ class BatchSubgameSolver:
             )
             outs.append(jax.tree.map(lambda x: np.asarray(x)[: hi - lo], out))
         return tuple(
-            np.concatenate([o[k] for o in outs], axis=0) for k in range(3)
+            np.concatenate([o[k] for o in outs], axis=0) for k in range(4)
         )
+
+
+def stop_iteration_weights(num_iters: int) -> np.ndarray:
+    """Linear weights over even stop iterations (emulating training-time
+    behavior, recursive_solving.cc:305-318) — single source for the
+    sequential and batched sampled evals (their draw-for-draw parity is
+    pinned by tests/test_recursive.py)."""
+    return np.array(
+        [0.0 if i % 2 else i / 2.0 + 1 for i in range(num_iters)]
+    )
 
 
 def _map_supertree_to_full(
@@ -192,7 +213,7 @@ def compute_strategy_recursive(
         ]
         if not frontier:
             break
-        bids, players, (avg, _, _) = _solve_frontier(
+        bids, players, (avg, _, _, _) = _solve_frontier(
             bsolver, frontier, full, None, None
         )
         avg = np.asarray(avg)
@@ -255,9 +276,7 @@ def compute_strategy_recursive_to_leaf(
     iteration_weights = None
     if sample_iters_seed is not None:
         rng = np.random.RandomState(sample_iters_seed)
-        iteration_weights = np.array(
-            [0.0 if i % 2 else i / 2.0 + 1 for i in range(params.num_iters)]
-        )
+        iteration_weights = stop_iteration_weights(params.num_iters)
         use_sampling_strategy = True
 
     frontier = [(0, np.full((2, H), 1.0 / H))]
@@ -268,10 +287,14 @@ def compute_strategy_recursive_to_leaf(
             break
         solver_i = bsolver if at_root else deep_solver
         at_root = False
-        bids, players, (avg, samp, reaches) = _solve_frontier(
+        bids, players, (avg, samp, r_samp, r_avg) = _solve_frontier(
             solver_i, frontier, full, rng, iteration_weights
         )
         copy_strat = np.asarray(samp if use_sampling_strategy else avg)
+        # Belief propagation: the sampled mode walks with the sampling
+        # strategy (get_belief_propogation_strategy), the non-sampled
+        # mode with the average (recursive_solving.cc:96-102).
+        reaches = r_samp if use_sampling_strategy else r_avg
         reaches = np.asarray(reaches)  # [B, 2, N_sup, H]
         next_frontier = []
         sup_i = solver_i.tree
@@ -417,9 +440,7 @@ def compute_sampled_strategies_to_leaf_batch(
     npdt = np.dtype(jnp.dtype(dtype).name)
     strategy = np.zeros((R, full.num_nodes, H, A), npdt)
     rngs = [np.random.RandomState(s) for s in seeds]
-    weights = np.array(
-        [0.0 if i % 2 else i / 2.0 + 1 for i in range(params.num_iters)]
-    )
+    weights = stop_iteration_weights(params.num_iters)
     pw = weights / weights.sum()
 
     # frontier: list of (full-tree node, beliefs [R, 2, H])

@@ -75,15 +75,18 @@ def full_solve(
 
     @partial(jax.jit, static_argnums=(2,))
     def run_chunk_collect(state, start, n):
-        # Same, also emitting the even-iteration sampling strategies
-        # (for the immediate-regret report, recursive_eval.cc:283-287).
+        # Same, also emitting the sampling strategy AFTER each step at
+        # even absolute iterations (recursive_eval.cc:283-287: step,
+        # THEN push_back when iter % 2 == 0 — unlike the gtest's
+        # collect-before-step, subgame_solving_test.cc:194-198).
         # Iterates are emitted flattened ([N*H*A]) so the stacked device
         # buffer tiles compactly — stacking [n, N, H, A] puts the tiny
         # (H, A) dims in the minor tiled positions and inflates HBM
         # ~20x, which OOMs the chip on the 8191-node 2x3f tree.
         def body(st, i):
+            st = solver.step(st, (start + i) % 2, root)
             samp = solver.sampling_strategy(st).reshape(-1)
-            return solver.step(st, (start + i) % 2, root), samp
+            return st, samp
 
         state, samps = jax.lax.scan(body, state, jnp.arange(n))
         return state, samps
@@ -298,7 +301,9 @@ def sampled_eval(
             contrib = strats[i] * reaches[i][:, :, None]
             rsum = reaches[i][:, :, None]
             if summed_strategy is None:
-                summed_strategy, summed_reach = contrib, rsum
+                # NB: rsum is a view into the yielded chunk — copy so
+                # the += below never mutates the producer's buffer.
+                summed_strategy, summed_reach = contrib, rsum.copy()
             else:
                 summed_strategy += contrib
                 summed_reach += rsum
@@ -477,21 +482,25 @@ def _load_net_value_fn(net_path: str, game, cfg: dict):
         params = load_params(net_path)
         if not (isinstance(params, dict) and "params" in params):
             raise ValueError("not a rebel_tpu params export")
-        from rebel_tpu.nets.cfv_net import CFVNetSpec
-
-        model = cfg.get("model", {}).get("kwargs", {})
-        spec = CFVNetSpec(
-            game=game,
-            n_hidden=model.get("n_hidden", 256),
-            n_layers=model.get("n_layers", 2),
-            use_layer_norm=model.get("use_layer_norm", True),
-        )
-        return spec.value_fn(params)
     except Exception:
+        # Only routing failures (not a plain pickle / not our export
+        # shape) fall through to the torch importer — a valid export
+        # whose value-fn construction fails below must surface its own
+        # error, not a misleading "not a torch checkpoint".
         from rebel_tpu.nets.torch_import import load_net2_checkpoint
 
         spec, tparams = load_net2_checkpoint(net_path, game)
         return spec.value_fn(tparams)
+    from rebel_tpu.nets.cfv_net import CFVNetSpec
+
+    model = cfg.get("model", {}).get("kwargs", {})
+    spec = CFVNetSpec(
+        game=game,
+        n_hidden=model.get("n_hidden", 256),
+        n_layers=model.get("n_layers", 2),
+        use_layer_norm=model.get("use_layer_norm", True),
+    )
+    return spec.value_fn(params)
 
 
 def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:
@@ -522,6 +531,10 @@ def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:
         value_fn = make_oracle_value_fn(game, base_params, dtype=dtype)
     elif net_path:
         value_fn = _load_net_value_fn(net_path, game, cfg)
+    # Same crash resilience as the scripts/eval_all.py path: stream
+    # partial snapshots into the experiment dir and (optionally) resume
+    # the phase-2 accumulator.
+    solver_tag = "cfr" if base_params.use_cfr else "fp"
     return run_eval(
         game,
         base_params,
@@ -530,4 +543,8 @@ def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:
         num_repeats=ev.get("num_repeats", 0),
         mdp_depth=ev.get("mdp_depth", base_params.max_depth),
         dtype=dtype,
+        partial_path=pathlib.Path(exp_dir)
+        / f"eval.{game.num_dice}x{game.num_faces}-{solver_tag}.partial",
+        resume=bool(ev.get("resume", False)),
+        regret_summary_report=bool(ev.get("regret_summary", True)),
     )

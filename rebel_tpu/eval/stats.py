@@ -10,7 +10,7 @@ Ports ``compute_stategy_stats`` (TreeStrategyStats,
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,31 @@ def compute_strategy_stats(
     )
 
 
+@lru_cache(maxsize=8)
+def _br_value_solver(game: LiarsDice, fp_iters: int, dtype_name: str):
+    """Cached jitted vmapped full-depth BR solve returning
+    root_values_means — rebuilding (and re-jitting) this per eval_net
+    call recompiled the most expensive program twice per trainer eval
+    epoch."""
+    from rebel_tpu.eval.recursive import BatchSubgameSolver
+
+    dtype = jnp.dtype(dtype_name)
+    params = SubgameSolvingParams(
+        num_iters=fp_iters, max_depth=10000, linear_update=True
+    )
+    solver = BatchSubgameSolver(
+        game, params, dtype, None, max_depth=None
+    ).solver
+
+    def solve_values(bid, player, bel):
+        root = RootCtx.of(game, bid, player)
+        state = solver.init(root, bel)
+        state = solver.multistep(state, root)
+        return state.root_values_means  # [2, H]
+
+    return jax.jit(jax.vmap(solve_values))
+
+
 def eval_net(
     game: LiarsDice,
     net_strategy: np.ndarray,
@@ -121,14 +146,13 @@ def eval_net(
     """MSE between net values and fresh full-solve BR values over the
     most-reachable depth-``d`` and ``2d`` non-terminal nodes
     (stats.cc:44-153)."""
-    from rebel_tpu.eval.recursive import BatchSubgameSolver
     from rebel_tpu.solving.queries import get_query
 
     ctx = full_tree_context(game, dtype)
     t = ctx.tree
-    net_stats = compute_strategy_stats(ctx, net_strategy)
-    true_stats = compute_strategy_stats(ctx, full_strategy)
-    stats = net_stats if traverse_by_net else true_stats
+    stats = compute_strategy_stats(
+        ctx, net_strategy if traverse_by_net else full_strategy
+    )
 
     sel = (
         ((t.depth == mdp_depth) | (t.depth == 2 * mdp_depth))
@@ -150,23 +174,9 @@ def eval_net(
     beliefs = np.stack([b0, b1], axis=1)  # [K, 2, H]
 
     # Fresh full-depth solves at each node (batched on the supertree).
-    params = SubgameSolvingParams(
-        num_iters=fp_iters, max_depth=10000, linear_update=True
-    )
-    bsolver = BatchSubgameSolver(game, params, dtype, None, max_depth=None)
     bids = t.last_bid[ids].astype(np.int32)
     players = (t.depth[ids] % 2).astype(np.int32)
-    # Root values are what we need: recompute via a dedicated vmapped
-    # multistep that returns root_values_means.
-    solver = bsolver.solver
-
-    def solve_values(bid, player, bel):
-        root = RootCtx.of(game, bid, player)
-        state = solver.init(root, bel)
-        state = solver.multistep(state, root)
-        return state.root_values_means  # [2, H]
-
-    vmapped = jax.jit(jax.vmap(solve_values))
+    vmapped = _br_value_solver(game, fp_iters, jnp.dtype(dtype).name)
     br_values = []
     chunk = 128
     for lo in range(0, ids.size, chunk):

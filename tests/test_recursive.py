@@ -164,3 +164,48 @@ def test_batched_sampled_eval_matches_sequential():
         )
         np.testing.assert_allclose(rb["ev_full"], rs["ev_full"], atol=1e-6)
     np.testing.assert_allclose(fin_b, fin_s, atol=1e-5)
+
+
+def test_cfr_to_leaf_uses_average_strategy_beliefs():
+    """Non-sampled CFR recursion must propagate beliefs with the AVERAGE
+    strategy (recursive_solving.cc:96-102), not the last iterate; and it
+    must not crash where zero-mass average-strategy paths abort the
+    reference binary (docs/DEVIATIONS.md safe-normalization note)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rebel_tpu.eval.recursive import (
+        BatchSubgameSolver,
+        compute_strategy_recursive_to_leaf,
+    )
+    from rebel_tpu.games.liars_dice import LiarsDice
+    from rebel_tpu.nets.value_nets import make_oracle_value_fn
+    from rebel_tpu.solving.exploitability import (
+        compute_exploitability2,
+        full_tree_context,
+    )
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    game = LiarsDice(1, 2)
+    params = SubgameSolvingParams(
+        num_iters=64, max_depth=2, linear_update=True, use_cfr=True
+    )
+    vf = make_oracle_value_fn(
+        game, params.replace(max_depth=10**6), dtype=jnp.float64
+    )
+    # The solver exposes reaches under both candidate strategies; for
+    # CFR they must differ (average vs last iterate).
+    bs = BatchSubgameSolver(game, params, jnp.float64, vf)
+    _, _, r_samp, r_avg = bs.solve(
+        np.array([-1], np.int32), np.array([0], np.int32),
+        np.full((1, 2, game.num_hands), 0.5),
+    )
+    assert np.abs(r_samp - r_avg).max() > 1e-3
+    # End-to-end: oracle-leaf recursion stays sane and high quality.
+    strat = compute_strategy_recursive_to_leaf(
+        game, params, vf, use_sampling_strategy=False, dtype=jnp.float64
+    )
+    assert np.isfinite(strat).all()
+    ctx = full_tree_context(game, jnp.float64)
+    e0, e1 = compute_exploitability2(ctx, strat)
+    assert (e0 + e1) / 2 < 0.05, (e0, e1)

@@ -105,9 +105,10 @@ int main(int argc, char** argv) {
   bool first = true;
   bool full_tree = root_bid == -1 && beliefs_arg.empty();
   for (int it = 0; it < num_iters; ++it) {
+    solver->step(it % 2);
+    // recursive_eval.cc:283-287: collect AFTER the step at even `it`.
     if (use_cfr && it % 2 == 0)
       iterates.push_back(solver->get_sampling_strategy());
-    solver->step(it % 2);
     if (full_tree && ((it + 1) & it) == 0) {  // power of two
       double e = compute_exploitability(game, solver->get_strategy());
       printf("%s%.17g", first ? "" : ",", e);
