@@ -27,11 +27,25 @@ def initialize(
 ) -> None:
     """jax.distributed.initialize wrapper: no-ops on a single process,
     auto-detects cluster env (TPU pods, Slurm) when args are None."""
-    if num_processes == 1 or (
-        coordinator_address is None and jax.process_count() == 1
-    ):
+    if num_processes == 1:
         log.info("single-process runtime; skipping jax.distributed")
         return
+    if coordinator_address is None and num_processes is None:
+        # Auto-detect from the cluster environment WITHOUT touching the
+        # backend: jax.process_count() would initialize XLA (making the
+        # later jax.distributed.initialize fail) and always reports 1
+        # before distributed init anyway.  jax.distributed's own
+        # detectors (TPU pod metadata, SLURM_*, OMPI_*) cover the
+        # multi-host cases; a plain single-host launch has none of
+        # those markers.
+        import os
+
+        multi_tpu = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        markers = ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                   "MEGASCALE_COORDINATOR_ADDRESS")
+        if not multi_tpu and not any(os.environ.get(m) for m in markers):
+            log.info("no cluster env detected; skipping jax.distributed")
+            return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

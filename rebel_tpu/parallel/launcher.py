@@ -64,12 +64,17 @@ def launch_local(
                 "--dist", f"{coordinator},{num_processes},{i}"
             ]
             logf = open(exp_dir / f"log.rank{i}.txt", "ab") if i else None
-            p = subprocess.Popen(
-                argv,
-                stdout=logf,
-                stderr=logf,
-                start_new_session=True,
-            )
+            try:
+                p = subprocess.Popen(
+                    argv,
+                    stdout=logf,
+                    stderr=logf,
+                    start_new_session=True,
+                )
+            finally:
+                if logf is not None:
+                    # The child holds its own duplicated fd.
+                    logf.close()
             procs.append(p)
             jobs["procs"].append({"pid": p.pid, "rank": i, "argv": argv})
         (exp_dir / JOBS_FILE).write_text(json.dumps(jobs, indent=1))
@@ -109,6 +114,10 @@ def launch_local(
 def _pid_matches(pid: int, argv: list[str]) -> bool:
     """Only signal a PID whose /proc cmdline still matches what we
     recorded — a recycled PID must never be killed."""
+    if not argv:
+        # No recorded command line -> nothing to match against; an
+        # empty prefix would match ANY process, inverting the guard.
+        return False
     try:
         cmd = pathlib.Path(f"/proc/{pid}/cmdline").read_bytes()
     except OSError:

@@ -223,7 +223,7 @@ def make_spmd_programs(
         loss = jax.lax.pmean(loss, axis)
         g_norm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         bucket = last_action_index(sample.queries, game.num_actions)
         nb = game.num_actions + 1
         stats = dict(
@@ -238,4 +238,12 @@ def make_spmd_programs(
         )
         return params, opt_state, key[None], stats
 
-    return init_state, jax.jit(gen_step), jax.jit(train_step)
+    # Donate the episode/replay/key buffers through gen_step: without
+    # aliasing, every call copies the whole replay ring (2x peak HBM and
+    # a full-buffer memcpy per gen step).  Params are NOT donated — the
+    # caller keeps using them.
+    return (
+        init_state,
+        jax.jit(gen_step, donate_argnums=(1, 2, 3)),
+        jax.jit(train_step),
+    )

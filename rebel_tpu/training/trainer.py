@@ -131,9 +131,12 @@ def lr_schedule(cfg: TrainerConfig, steps_per_epoch: int):
 
     def schedule(step):
         epoch = step // steps_per_epoch
-        decays = jnp.minimum(
-            (epoch + 1) // cfg.decrease_lr_every, cfg.decrease_lr_times
-        )
+        decays = (epoch + 1) // cfg.decrease_lr_every
+        if cfg.decrease_lr_times:
+            decays = jnp.minimum(decays, cfg.decrease_lr_times)
+        # NB: falsy decrease_lr_times means UNLIMITED halvings in the
+        # reference ('if not decrease_lr_times or num_decays < ...',
+        # selfplay.py:344-351), not zero.
         return cfg.lr * 0.5**decays
 
     return schedule
@@ -343,6 +346,13 @@ class Trainer:
                 replay=rb.load_into(state.replay, cfg.train_preload)
             )
 
+        # Baselines for throughput metrics: num_add at entry covers both
+        # preloads and resumes (the reference subtracts preloaded_size,
+        # selfplay.py:329-332), and per-epoch timings divide by epochs
+        # run in THIS process, not the absolute epoch index.
+        num_add_base = int(state.replay.num_add)
+        epoch_base = int(state.epoch)
+
         # Burn-in (selfplay.py:314-327).
         while int(state.replay.size) < 2 * batch:
             state = self._gen(state)
@@ -352,111 +362,116 @@ class Trainer:
         wd = StallWatchdog(cfg.stall_timeout_s, self.out_dir).start()
         all_metrics = []
         val_sets: list[tuple[str, np.ndarray, np.ndarray]] = []
-        for epoch in range(int(state.epoch), max_epochs):
-            wd.alive(epoch)
-            t_epoch = time.time()
-            # Validation snapshots from the replay buffer
-            # (selfplay.py:352-362).
-            if (
-                cfg.create_validation_set_every
-                and epoch % cfg.create_validation_set_every == 0
-            ):
-                key, k_val = jax.random.split(state.key)
-                state = state._replace(key=key)
-                samp = rb.sample_uniform(
-                    state.replay, k_val,
-                    cfg.validation_batches * cfg.train_batch_size,
-                )
-                val_sets.append(
-                    (
-                        f"valid_snapshot_{epoch:04d}",
-                        np.asarray(samp.queries),
-                        np.asarray(samp.values),
+        try:
+            for epoch in range(int(state.epoch), max_epochs):
+                wd.alive(epoch)
+                t_epoch = time.time()
+                # Validation snapshots from the replay buffer
+                # (selfplay.py:352-362).
+                if (
+                    cfg.create_validation_set_every
+                    and epoch % cfg.create_validation_set_every == 0
+                ):
+                    key, k_val = jax.random.split(state.key)
+                    state = state._replace(key=key)
+                    samp = rb.sample_uniform(
+                        state.replay, k_val,
+                        cfg.validation_batches * cfg.train_batch_size,
                     )
-                )
-            # Periodic dataset dump (selfplay.py:364-375).
-            if (
-                cfg.dump_dataset_every_epochs
-                and epoch % cfg.dump_dataset_every_epochs == 0
-            ):
-                dump_dir = self.out_dir / "dumped_data"
-                dump_dir.mkdir(parents=True, exist_ok=True)
-                rb.save(state.replay, str(dump_dir / f"data_{epoch:03d}.dat"))
-            # Throttle: generate until the ratio is satisfied
-            # (selfplay.py:391-405).
-            t0 = time.time()
-            while (
-                int(state.replay.num_add) * cfg.train_gen_ratio
-                < train_size * (epoch + 1)
-            ):
-                state = self._gen(state)
-                gen_rows_total += gen_rows
-            gen_time += time.time() - t0
-
-            t0 = time.time()
-            key, k_train = jax.random.split(state.key)
-            params, opt_state, stats = self._train_chunk(
-                state.params,
-                state.opt_state,
-                state.replay,
-                k_train,
-                self.steps_per_epoch,
-            )
-            stats = jax.tree.map(np.asarray, stats)
-            state = state._replace(
-                params=params,
-                opt_state=opt_state,
-                key=key,
-                epoch=jnp.int32(epoch + 1),
-            )
-            train_time += time.time() - t0
-
-            metrics = self._epoch_metrics(state, stats, epoch)
-            metrics["bps/train"] = self.steps_per_epoch / max(
-                time.time() - t0, 1e-9
-            )
-            metrics["bps/train_examples"] = metrics["bps/train"] * batch
-            metrics["bps/gen"] = (
-                int(state.replay.num_add) / max(gen_time, 1e-9) / batch
-            )
-            metrics["bps/gen_examples"] = metrics["bps/gen"] * batch
-            metrics["timing/gen"] = gen_time / (epoch + 1)
-            metrics["timing/train"] = train_time / (epoch + 1)
-
-            # Purge the buffer at configured epochs (selfplay.py:513-521).
-            if cfg.purging_epochs and (epoch + 1) in cfg.purging_epochs:
-                new_size = max(
-                    2 * batch,
-                    int(cfg.purging_share_keep * int(state.replay.size)),
-                )
-                state = state._replace(
-                    replay=rb.pop_until(state.replay, new_size)
-                )
-
-            if epoch % cfg.checkpoint_every == 0:
-                for name, vq, vv in val_sets:
-                    metrics[f"loss/{name}"] = float(
-                        self._loss_eval(
-                            state.params, jnp.asarray(vq), jnp.asarray(vv)
+                    val_sets.append(
+                        (
+                            f"valid_snapshot_{epoch:04d}",
+                            np.asarray(samp.queries),
+                            np.asarray(samp.values),
                         )
                     )
-                self.save_checkpoint(state, epoch)
-            if cfg.exploit and cfg.exploit_every and epoch % cfg.exploit_every == 0:
+                # Periodic dataset dump (selfplay.py:364-375).
+                if (
+                    cfg.dump_dataset_every_epochs
+                    and epoch % cfg.dump_dataset_every_epochs == 0
+                ):
+                    dump_dir = self.out_dir / "dumped_data"
+                    dump_dir.mkdir(parents=True, exist_ok=True)
+                    rb.save(state.replay, str(dump_dir / f"data_{epoch:03d}.dat"))
+                # Throttle: generate until the ratio is satisfied; a falsy
+                # ratio disables the throttle entirely (the reference wraps
+                # it in `if self.cfg.train_gen_ratio:`, selfplay.py:391-405).
                 t0 = time.time()
-                metrics.update(self.evaluate(state))
-                metrics["timing/exploit"] = time.time() - t0
+                while cfg.train_gen_ratio and (
+                    int(state.replay.num_add) * cfg.train_gen_ratio
+                    < train_size * (epoch + 1)
+                ):
+                    state = self._gen(state)
+                    gen_rows_total += gen_rows
+                gen_time += time.time() - t0
 
-            log.info(
-                "[Train] epoch %d loss %.6f exploit %s lr %.2e",
-                epoch,
-                metrics["loss/train"],
-                metrics.get("exploitability_last", "-"),
-                metrics["optim/lr"],
-            )
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(metrics) + "\n")
-            all_metrics.append(metrics)
-        wd.stop()
+                t0 = time.time()
+                key, k_train = jax.random.split(state.key)
+                params, opt_state, stats = self._train_chunk(
+                    state.params,
+                    state.opt_state,
+                    state.replay,
+                    k_train,
+                    self.steps_per_epoch,
+                )
+                stats = jax.tree.map(np.asarray, stats)
+                state = state._replace(
+                    params=params,
+                    opt_state=opt_state,
+                    key=key,
+                    epoch=jnp.int32(epoch + 1),
+                )
+                train_time += time.time() - t0
+
+                metrics = self._epoch_metrics(state, stats, epoch)
+                metrics["bps/train"] = self.steps_per_epoch / max(
+                    time.time() - t0, 1e-9
+                )
+                metrics["bps/train_examples"] = metrics["bps/train"] * batch
+                metrics["bps/gen"] = (
+                    (int(state.replay.num_add) - num_add_base)
+                    / max(gen_time, 1e-9) / batch
+                )
+                metrics["bps/gen_examples"] = metrics["bps/gen"] * batch
+                epochs_run = epoch - epoch_base + 1
+                metrics["timing/gen"] = gen_time / epochs_run
+                metrics["timing/train"] = train_time / epochs_run
+
+                # Purge the buffer at configured epochs (selfplay.py:513-521).
+                if cfg.purging_epochs and (epoch + 1) in cfg.purging_epochs:
+                    new_size = max(
+                        2 * batch,
+                        int(cfg.purging_share_keep * int(state.replay.size)),
+                    )
+                    state = state._replace(
+                        replay=rb.pop_until(state.replay, new_size)
+                    )
+
+                if epoch % cfg.checkpoint_every == 0:
+                    for name, vq, vv in val_sets:
+                        metrics[f"loss/{name}"] = float(
+                            self._loss_eval(
+                                state.params, jnp.asarray(vq), jnp.asarray(vv)
+                            )
+                        )
+                    self.save_checkpoint(state, epoch)
+                if cfg.exploit and cfg.exploit_every and epoch % cfg.exploit_every == 0:
+                    t0 = time.time()
+                    metrics.update(self.evaluate(state))
+                    metrics["timing/exploit"] = time.time() - t0
+
+                log.info(
+                    "[Train] epoch %d loss %.6f exploit %s lr %.2e",
+                    epoch,
+                    metrics["loss/train"],
+                    metrics.get("exploitability_last", "-"),
+                    metrics["optim/lr"],
+                )
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(metrics) + "\n")
+                all_metrics.append(metrics)
+        finally:
+            wd.stop()
         return state, all_metrics
 
     def _gen(self, state: TrainState) -> TrainState:
@@ -567,115 +582,119 @@ class Trainer:
         wd = StallWatchdog(
             cfg.stall_timeout_s, self.out_dir, what="spmd-train"
         ).start()
-        for epoch in range(start_epoch, max_epochs):
-            wd.alive(epoch)
-            t0 = time.time()
-            # Gen throttle relative to the resume point: the ring
-            # restarts empty, so the cumulative target must not demand
-            # the pre-resume epochs' generation again
-            # (selfplay.py:391-405 counts from the process start too).
-            while int(local(total_added(state.replay))) * (
-                cfg.train_gen_ratio
-            ) < train_size * (epoch + 1 - start_epoch):
-                eps, rep, keys = gen_step(
-                    state.params, state.episodes, state.replay, state.keys
-                )
-                state = state._replace(episodes=eps, replay=rep, keys=keys)
-            gen_s = time.time() - t0
-
-            t0 = time.time()
-            step_stats = []
-            for _ in range(self.steps_per_epoch):
-                params, opt_state, keys, stats = train_step(
-                    state.params, state.opt_state, state.replay, state.keys
-                )
-                state = state._replace(
-                    params=params, opt_state=opt_state, keys=keys
-                )
-                step_stats.append(stats)
-            train_s = time.time() - t0
-            host = [
-                {k: np.asarray(local(v)) for k, v in s.items()}
-                for s in step_stats
-            ]
-            loss = float(np.mean([s["loss"] for s in host]))
-            g_norms = np.asarray([s["g_norm"] for s in host])
-
-            metrics = {
-                "epoch": epoch,
-                "loss/train": loss,
-                "optim/lr": float(lr_schedule(cfg, 1)(jnp.asarray(epoch))),
-                "optim/grad_max": float(g_norms.max()),
-                "optim/grad_mean": float(g_norms.mean()),
-                "buffer/added": int(local(total_added(state.replay))),
-                "timing/gen": gen_s,
-                "timing/train": train_s,
-                "spmd/devices": int(mesh.devices.size),
-                "spmd/processes": jax.process_count(),
-            }
-            metrics.update(
-                bucket_metrics(
-                    self.game,
-                    sum(s["counts"] for s in host),
-                    sum(s["loss_sums"] for s in host),
-                    sum(s["val_sums"] for s in host),
-                )
-            )
-            if is_master:
-                heartbeat.touch()
-                if cfg.exploit and cfg.exploit_every and (
-                    epoch % cfg.exploit_every == 0
+        try:
+            for epoch in range(start_epoch, max_epochs):
+                wd.alive(epoch)
+                t0 = time.time()
+                # Gen throttle relative to the resume point: the ring
+                # restarts empty, so the cumulative target must not demand
+                # the pre-resume epochs' generation again
+                # (selfplay.py:391-405 counts from the process start too).
+                while cfg.train_gen_ratio and int(
+                    local(total_added(state.replay))
+                ) * cfg.train_gen_ratio < train_size * (
+                    epoch + 1 - start_epoch
                 ):
-                    # Master-only in-training exploitability, as on the
-                    # single-process path (selfplay.py:555-570). Runs on
-                    # the master's local device; other ranks simply wait
-                    # at their next collective.
-                    t0 = time.time()
-                    metrics.update(
-                        self.evaluate_params(
-                            jax.tree.map(local, state.params)
-                        )
+                    eps, rep, keys = gen_step(
+                        state.params, state.episodes, state.replay, state.keys
                     )
-                    metrics["timing/exploit"] = time.time() - t0
-                log.info(
-                    "[SPMD] epoch %d loss %.6f exploit %s (%d devices, "
-                    "%d procs)",
-                    epoch, loss,
-                    metrics.get("exploitability_last", "-"),
-                    mesh.devices.size, jax.process_count(),
+                    state = state._replace(episodes=eps, replay=rep, keys=keys)
+                gen_s = time.time() - t0
+
+                t0 = time.time()
+                step_stats = []
+                for _ in range(self.steps_per_epoch):
+                    params, opt_state, keys, stats = train_step(
+                        state.params, state.opt_state, state.replay, state.keys
+                    )
+                    state = state._replace(
+                        params=params, opt_state=opt_state, keys=keys
+                    )
+                    step_stats.append(stats)
+                train_s = time.time() - t0
+                host = [
+                    {k: np.asarray(local(v)) for k, v in s.items()}
+                    for s in step_stats
+                ]
+                loss = float(np.mean([s["loss"] for s in host]))
+                g_norms = np.asarray([s["g_norm"] for s in host])
+
+                metrics = {
+                    "epoch": epoch,
+                    "loss/train": loss,
+                    "optim/lr": float(lr_schedule(cfg, 1)(jnp.asarray(epoch))),
+                    "optim/grad_max": float(g_norms.max()),
+                    "optim/grad_mean": float(g_norms.mean()),
+                    "buffer/added": int(local(total_added(state.replay))),
+                    "timing/gen": gen_s,
+                    "timing/train": train_s,
+                    "spmd/devices": int(mesh.devices.size),
+                    "spmd/processes": jax.process_count(),
+                }
+                metrics.update(
+                    bucket_metrics(
+                        self.game,
+                        sum(s["counts"] for s in host),
+                        sum(s["loss_sums"] for s in host),
+                        sum(s["val_sums"] for s in host),
+                    )
                 )
-                with open(metrics_path, "a") as f:
-                    f.write(json.dumps(metrics) + "\n")
-                if epoch % cfg.checkpoint_every == 0:
-                    ckpt_dir.mkdir(parents=True, exist_ok=True)
-                    host = {
-                        "params": jax.tree.map(local, state.params),
-                        "opt_state": jax.tree.map(local, state.opt_state),
-                        "epoch": epoch,
-                    }
-                    tmp = ckpt_dir / f".epoch{epoch}.spmd.ckpt.tmp"
-                    with open(tmp, "wb") as f:
-                        pickle.dump(host, f)
-                    tmp.replace(ckpt_dir / f"epoch{epoch}.spmd.ckpt")
-                    # Inference-only params export (eval interchange).
-                    tmp = ckpt_dir / f".epoch{epoch}.params.tmp"
-                    with open(tmp, "wb") as f:
-                        pickle.dump(host["params"], f)
-                    tmp.replace(ckpt_dir / f"epoch{epoch}.params")
-                    # Retention, as on the single-process path: keep
-                    # the last keep_checkpoints resumable state files
-                    # (.params exports are small and all kept).
-                    if cfg.keep_checkpoints:
-                        spmd = sorted(
-                            ckpt_dir.glob("epoch*.spmd.ckpt"),
-                            key=lambda p: int(
-                                p.name.split(".")[0][5:]
-                            ),
+                if is_master:
+                    heartbeat.touch()
+                    if cfg.exploit and cfg.exploit_every and (
+                        epoch % cfg.exploit_every == 0
+                    ):
+                        # Master-only in-training exploitability, as on the
+                        # single-process path (selfplay.py:555-570). Runs on
+                        # the master's local device; other ranks simply wait
+                        # at their next collective.
+                        t0 = time.time()
+                        metrics.update(
+                            self.evaluate_params(
+                                jax.tree.map(local, state.params)
+                            )
                         )
-                        for old in spmd[: -cfg.keep_checkpoints]:
-                            old.unlink()
-            all_metrics.append(metrics)
-        wd.stop()
+                        metrics["timing/exploit"] = time.time() - t0
+                    log.info(
+                        "[SPMD] epoch %d loss %.6f exploit %s (%d devices, "
+                        "%d procs)",
+                        epoch, loss,
+                        metrics.get("exploitability_last", "-"),
+                        mesh.devices.size, jax.process_count(),
+                    )
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps(metrics) + "\n")
+                    if epoch % cfg.checkpoint_every == 0:
+                        ckpt_dir.mkdir(parents=True, exist_ok=True)
+                        host = {
+                            "params": jax.tree.map(local, state.params),
+                            "opt_state": jax.tree.map(local, state.opt_state),
+                            "epoch": epoch,
+                        }
+                        tmp = ckpt_dir / f".epoch{epoch}.spmd.ckpt.tmp"
+                        with open(tmp, "wb") as f:
+                            pickle.dump(host, f)
+                        tmp.replace(ckpt_dir / f"epoch{epoch}.spmd.ckpt")
+                        # Inference-only params export (eval interchange).
+                        tmp = ckpt_dir / f".epoch{epoch}.params.tmp"
+                        with open(tmp, "wb") as f:
+                            pickle.dump(host["params"], f)
+                        tmp.replace(ckpt_dir / f"epoch{epoch}.params")
+                        # Retention, as on the single-process path: keep
+                        # the last keep_checkpoints resumable state files
+                        # (.params exports are small and all kept).
+                        if cfg.keep_checkpoints:
+                            spmd = sorted(
+                                ckpt_dir.glob("epoch*.spmd.ckpt"),
+                                key=lambda p: int(
+                                    p.name.split(".")[0][5:]
+                                ),
+                            )
+                            for old in spmd[: -cfg.keep_checkpoints]:
+                                old.unlink()
+                all_metrics.append(metrics)
+        finally:
+            wd.stop()
         return state, all_metrics
 
     def _epoch_metrics(self, state, stats, epoch):
