@@ -118,6 +118,24 @@ def _build(dc_type, data: dict, path: str = ""):
 
 def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
     """Map the reference's yaml layout onto :class:`TrainerConfig`."""
+
+    def _check_section(section: str, d: dict, consumed, vestigial=()):
+        """Unknown-key errors inside consumed sections (the module's
+        create_mdp_config contract applies to every section, not just
+        env.*): a typo like optimizer.lr_ or model.kwargs.n_hiden must
+        fail loudly, while known-vestigial reference keys are accepted
+        with a log line."""
+        extra = set(d) - set(consumed) - set(vestigial)
+        if extra:
+            raise ValueError(
+                f"Unknown config keys in {section}: {sorted(extra)}"
+            )
+        for k in sorted(set(d) & set(vestigial)):
+            log.info(
+                "config key '%s.%s' accepted but unused in rebel_tpu",
+                section, k,
+            )
+
     c = dict(cfg)  # shallow copy; consume known sections
     out: dict[str, Any] = {}
     env = c.pop("env", {})
@@ -125,33 +143,62 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         out["env"] = _build(RecursiveSolvingParams, env, "env.")
     model = c.pop("model", {})
     if model:
+        _check_section("model", model, {"kwargs"}, {"name", "classname"})
         kwargs = model.get("kwargs", {})
+        _check_section(
+            "model.kwargs", kwargs,
+            {"n_hidden", "n_layers", "use_layer_norm"}, {"dropout"},
+        )
         out["n_hidden"] = kwargs.get("n_hidden", 256)
         out["n_layers"] = kwargs.get("n_layers", 2)
         out["use_layer_norm"] = kwargs.get("use_layer_norm", True)
     opt = c.pop("optimizer", {})
     if opt:
+        _check_section(
+            "optimizer", opt,
+            {"kwargs", "classname", "name", "lr", "momentum"},
+        )
         kwargs = opt.get("kwargs", {})
-        out["lr"] = kwargs.get("lr", opt.get("lr", 3e-4))
+        _check_section(
+            "optimizer.kwargs", kwargs, {"lr", "momentum"},
+            {"eps", "betas", "weight_decay"},
+        )
+        # A direct override (optimizer.lr=...) must beat the defaults
+        # file's kwargs.lr — the old precedence silently ignored lr
+        # sweeps.
+        out["lr"] = opt.get("lr", kwargs.get("lr", 3e-4))
         # classname 'Adam' / 'SGD' / 'hey.optimizers.RAdam' /
         # 'hey.optimizers.Ralamb' (conf/common/optimizer/*.yaml).
         cls = opt.get("classname", opt.get("name"))
         if cls:
             out["optimizer"] = str(cls).rsplit(".", 1)[-1].lower()
-        if "momentum" in kwargs:
-            out["momentum"] = kwargs["momentum"]
+        if "momentum" in opt or "momentum" in kwargs:
+            out["momentum"] = opt.get("momentum", kwargs.get("momentum"))
     data = c.pop("data", {})
     if data:
+        _check_section(
+            "data", data, {"train_epoch_size", "train_batch_size"}
+        )
         out["train_epoch_size"] = data.get("train_epoch_size", 25600)
         out["train_batch_size"] = data.get("train_batch_size", 512)
     replay = c.pop("replay", {})
     if replay:
+        _check_section(
+            "replay", replay,
+            {"capacity", "alpha", "beta", "use_priority"}, {"prefetch"},
+        )
         out["replay_capacity"] = int(replay.get("capacity", 2_000_000))
         out["replay_alpha"] = replay.get("alpha", 1.0)
         out["replay_beta"] = replay.get("beta", 1.0)
         out["use_priority"] = replay.get("use_priority", False)
     selfplay = c.pop("selfplay", {})
     if selfplay:
+        _check_section(
+            "selfplay", selfplay,
+            {"batch", "cpu_gen_threads", "engine", "net_compute_dtype",
+             "dump_dataset_every_epochs"},
+            {"network_sync_epochs", "threads_per_gpu", "models_per_gpu"},
+        )
         out["selfplay_batch"] = selfplay.get(
             "batch", selfplay.get("cpu_gen_threads", 60) * 16
         )
@@ -188,6 +235,7 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         "purging_epochs",
         "purging_share_keep",
         "train_preload",
+        "stall_timeout_s",
     }
     for k in list(c):
         if k in direct:
@@ -282,8 +330,11 @@ def handle_dst(exp_dir: pathlib.Path, mode: str) -> bool:
 
 
 def latest_checkpoint(exp_dir: pathlib.Path) -> pathlib.Path | None:
+    """Newest full-state checkpoint (epoch<N>.ckpt; N-integer stems only
+    — epoch<N>.spmd.ckpt files have their own resume path)."""
     ckpts = sorted(
-        (exp_dir / "ckpt").glob("epoch*.ckpt"),
+        (p for p in (exp_dir / "ckpt").glob("epoch*.ckpt")
+         if p.stem[5:].isdigit()),
         key=lambda p: int(p.stem[5:]),
     ) if (exp_dir / "ckpt").exists() else []
     return ckpts[-1] if ckpts else None

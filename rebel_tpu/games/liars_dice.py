@@ -103,11 +103,7 @@ class LiarsDice:
         """
         out = np.zeros((self.num_hands, self.num_faces), dtype=np.int32)
         for hand in range(self.num_hands):
-            h = hand
-            dice = []
-            for _ in range(self.num_dice):
-                dice.append(h % self.num_faces)
-                h //= self.num_faces
+            dice = self.hand_to_dice(hand)
             for f in range(self.num_faces):
                 out[hand, f] = sum(
                     1 for d in dice if d == f or d == self.wild_face

@@ -49,7 +49,12 @@ class CFVNet(nn.Module):
         for _ in range(self.n_layers):
             x = nn.Dense(self.n_hidden, dtype=self.compute_dtype)(x)
             if self.use_layer_norm:
-                x = nn.LayerNorm(dtype=self.compute_dtype)(x)
+                # epsilon 1e-5 = torch nn.LayerNorm's default (flax
+                # defaults to 1e-6) — required for numeric parity with
+                # reference Net2 checkpoints exchanged via torch_import.
+                x = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.compute_dtype
+                )(x)
             # Exact (erf) GELU to match torch F.gelu (models.py:97-99).
             x = nn.gelu(x, approximate=False)
             if self.dropout > 0:

@@ -90,7 +90,7 @@ def _mlp_batch_last(flax_params: Any, x: jnp.ndarray, compute_dtype):
             ln = p[f"LayerNorm_{k}"]
             mu = x.mean(axis=0, keepdims=True)
             var = ((x - mu) ** 2).mean(axis=0, keepdims=True)
-            x = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+            x = (x - mu) * jax.lax.rsqrt(var + 1e-5)  # torch LN epsilon
             x = (
                 x * ln["scale"].astype(compute_dtype)[:, None]
                 + ln["bias"].astype(compute_dtype)[:, None]

@@ -337,7 +337,7 @@ class Grid2PallasSolver:
                         mu = x.sum(axis=0, keepdims=True) * inv_n
                         ex2 = (x * x).sum(axis=0, keepdims=True) * inv_n
                         var = jnp.maximum(ex2 - mu * mu, 0.0)
-                        r = jax.lax.rsqrt(var + 1e-6)
+                        r = jax.lax.rsqrt(var + 1e-5)  # torch LN epsilon
                         x = x * r - mu * r
                     x = x * scale_col + bias_col
                     x = act(x)

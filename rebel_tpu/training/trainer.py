@@ -470,6 +470,10 @@ class Trainer:
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(metrics) + "\n")
                 all_metrics.append(metrics)
+                # Liveness for the exp-dir status machine: without a
+                # per-epoch touch a healthy run reads DEAD after 300s
+                # and gentle_start/start_restart would wipe it.
+                (self.out_dir / "heartbeat").touch()
         finally:
             wd.stop()
         return state, all_metrics

@@ -81,6 +81,16 @@ def main(argv=None):
     log.info("Experiment dir: %s", exp_dir)
 
     if args.mode == "kill":
+        if args.adhoc and not args.exp_dir:
+            # --adhoc salts the dir name with the launch time, so a
+            # fresh kill invocation can never re-derive the running
+            # experiment's directory — fail loudly instead of "killing"
+            # a directory that does not exist.
+            raise SystemExit(
+                "--mode kill cannot locate an --adhoc experiment "
+                "(its dir name is time-salted); pass the printed "
+                "directory explicitly via --exp_dir"
+            )
         from rebel_tpu.parallel.launcher import kill_experiment
 
         kill_experiment(exp_dir)
@@ -122,7 +132,20 @@ def main(argv=None):
     # Master-only filesystem writes: launched ranks share one exp dir,
     # and concurrent non-atomic write_text of the same file can expose
     # truncated content to readers.
-    dist_rank = int(args.dist.rsplit(",", 1)[1]) if is_child else 0
+    if not is_child:
+        # Multi-host auto-detect (TPU pod / Slurm): joins the cluster
+        # runtime so every host runs one SPMD program instead of N
+        # independent trainers racing on the exp dir.  No-op (and no
+        # backend touch) off-cluster.
+        from rebel_tpu.parallel.distributed import initialize
+
+        initialize()
+    import jax
+
+    dist_rank = (
+        int(args.dist.rsplit(",", 1)[1]) if is_child
+        else jax.process_index() if jax.process_count() > 1 else 0
+    )
     if dist_rank == 0:
         (exp_dir / "config.json").write_text(json.dumps(cfg, indent=1))
         (exp_dir / "heartbeat").touch()
@@ -193,8 +216,10 @@ def main(argv=None):
         raise ValueError(f"Unknown task: {task}")
 
     # result.json plays the role of result.torch
-    # (heyhi/__init__.py:229-241).
-    (exp_dir / "result.json").write_text(json.dumps(result, indent=1))
+    # (heyhi/__init__.py:229-241); master-only, like every shared-dir
+    # write (launched eval ranks would race otherwise).
+    if dist_rank == 0:
+        (exp_dir / "result.json").write_text(json.dumps(result, indent=1))
     log.info("Result: %s", json.dumps(result)[:2000])
     return 0
 
