@@ -78,6 +78,7 @@ int64_t replay_store_read(void* handle, int64_t start, int64_t n, float* q_out,
 int64_t replay_store_save(void* handle, const char* path, int64_t stride) {
   auto* s = static_cast<Store*>(handle);
   std::lock_guard<std::mutex> lk(s->mu);
+  if (stride <= 0) stride = 1;  // stride 0 would loop forever
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
   int64_t written = 0;
@@ -99,6 +100,7 @@ int64_t replay_store_load(void* handle, const char* path, int64_t max_rows,
                           int64_t stride) {
   auto* s = static_cast<Store*>(handle);
   std::lock_guard<std::mutex> lk(s->mu);
+  if (stride <= 0) stride = 1;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   int64_t loaded = 0, seen = 0;
