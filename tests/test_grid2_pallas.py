@@ -206,3 +206,72 @@ def test_pallas_kernel_handles_layer_norm_free_nets():
     np.testing.assert_allclose(
         np.asarray(out.snap0), np.moveaxis(np.asarray(s0), -1, 0), atol=1e-5
     )
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [
+        dict(use_cfr=True, linear_update=False, dcfr=True,
+             dcfr_alpha=1.5, dcfr_beta=0.5, dcfr_gamma=2.0),
+        dict(use_cfr=False, linear_update=True, optimistic=True),
+    ],
+    ids=["dcfr", "optimistic_fp"],
+)
+def test_pallas_variants_match_grid2b(variant):
+    """DCFR discounting and optimistic FP through the fused kernel must
+    match the batch-last engine (the linear paths are covered above;
+    these close the solver-variant coverage matrix)."""
+    game = LiarsDice(num_dice=1, num_faces=4)
+    params = SubgameSolvingParams(num_iters=8, max_depth=2, **variant)
+    spec = CFVNetSpec(game=game, n_hidden=16, n_layers=2)
+    net_params = spec.init_params(jax.random.PRNGKey(2))
+
+    B = 4
+    rng = np.random.RandomState(9)
+    bids = np.array([-1, 0, 3, 6], np.int32)
+    players = np.array([0, 1, 1, 0], np.int32)
+    beliefs = rng.dirichlet(np.ones(game.num_hands), size=(B, 2)).astype(
+        np.float32
+    )
+    t_stop = np.array([0, 3, 8, 5], np.int32)
+
+    ref = Grid2BatchSolver(
+        game=game, params=params, dtype=jnp.float32, net_params=net_params
+    )
+    root = RootCtxB.of(game, bids, players)
+    belb = jnp.asarray(np.moveaxis(beliefs, 0, -1))
+    state = ref.init(root, belb)
+    snap = ref.sampling_strategy(state, root)
+    tj = jnp.asarray(t_stop)
+
+    def body(carry, it):
+        st, sn = carry
+        cur = ref.sampling_strategy(st, root)
+        sn = jax.tree.map(lambda c, s: jnp.where(it == tj, c, s), cur, sn)
+        st = ref.step(st, it % 2, root)
+        return (st, sn), None
+
+    (state, (s0, s1)), _ = jax.lax.scan(
+        body, (state, snap), jnp.arange(params.num_iters)
+    )
+    f0, f1 = ref.sampling_strategy(state, root)
+    s0 = jnp.where(tj == params.num_iters, f0, s0)
+    s1 = jnp.where(tj == params.num_iters, f1, s1)
+
+    out = Grid2PallasSolver(
+        game=game, params=params, lane_block=B, gelu="exact",
+        interpret=True,
+    ).solve(bids, players, beliefs, t_stop, net_params)
+    np.testing.assert_allclose(
+        np.asarray(out.rvm),
+        np.moveaxis(np.asarray(state.root_values_means), -1, 0),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.snap0), np.moveaxis(np.asarray(s0), -1, 0),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.snap1), np.moveaxis(np.asarray(s1), -1, 0),
+        atol=1e-5,
+    )
