@@ -102,7 +102,12 @@ class TrainerConfig:
     # eval_mse/{net_reach,fp_reach} diagnostics during exploit evals
     # (compute_stats_with_net, pybind.cc:57-84; selfplay.py:568-570).
     eval_mse: bool = False
-    eval_num_repeats: int = 0  # sampled-eval repeats (0 = single)
+    # Sampled-eval repeats for the in-training exploit eval (0 = single
+    # sample only). Defaults to 8 so the headline metric is the averaged
+    # `exploitability_avg` rather than the noisy single-sample
+    # `exploitability_last` (recursive_eval.cc:344-386 is the protocol
+    # this mirrors at small repeat counts).
+    eval_num_repeats: int = 8
     # Validation snapshots from replay (selfplay.py:352-362) and dataset
     # dumps (selfplay.py:364-375) and buffer purging (selfplay.py:513-521).
     create_validation_set_every: int = 100
@@ -464,7 +469,10 @@ class Trainer:
                     "[Train] epoch %d loss %.6f exploit %s lr %.2e",
                     epoch,
                     metrics["loss/train"],
-                    metrics.get("exploitability_last", "-"),
+                    metrics.get(
+                        "exploitability_avg",
+                        metrics.get("exploitability_last", "-"),
+                    ),
                     metrics["optim/lr"],
                 )
                 with open(metrics_path, "a") as f:
@@ -663,7 +671,10 @@ class Trainer:
                         "[SPMD] epoch %d loss %.6f exploit %s (%d devices, "
                         "%d procs)",
                         epoch, loss,
-                        metrics.get("exploitability_last", "-"),
+                        metrics.get(
+                            "exploitability_avg",
+                            metrics.get("exploitability_last", "-"),
+                        ),
                         mesh.devices.size, jax.process_count(),
                     )
                     with open(metrics_path, "a") as f:

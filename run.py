@@ -29,6 +29,48 @@ def setup_logging():
     )
 
 
+def _log_env(log):
+    """Startup environment/provenance logging, mirroring the reference's
+    git-status + env dump at job start (heyhi/__init__.py:85-107): git
+    SHA + dirty state, hostname, python/jax versions, and the visible
+    device set — so any result directory can be traced back to the
+    exact tree that produced it."""
+    import os
+    import platform
+    import subprocess
+
+    def _git(*argv):
+        try:
+            return subprocess.run(
+                ["git", *argv], capture_output=True, text=True, timeout=10,
+                cwd=pathlib.Path(__file__).resolve().parent,
+            ).stdout.strip()
+        except Exception:
+            return "<unavailable>"
+
+    sha = _git("rev-parse", "HEAD")
+    dirty = _git("status", "--porcelain")
+    log.info("Git SHA: %s%s", sha, " (dirty)" if dirty else "")
+    if dirty:
+        for line in dirty.splitlines()[:20]:
+            log.info("  dirty: %s", line)
+    log.info(
+        "Host: %s | Python %s", platform.node(), platform.python_version()
+    )
+    for key in ("JAX_PLATFORMS", "XLA_FLAGS", "SLURM_JOB_ID"):
+        if os.environ.get(key):
+            log.info("Env %s=%s", key, os.environ[key])
+    try:
+        import jax
+
+        log.info(
+            "JAX %s | devices: %s", jax.__version__,
+            [str(d) for d in jax.devices()],
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log.info("JAX device probe failed: %s", e)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-c", "--cfg", required=True)
@@ -79,6 +121,7 @@ def main(argv=None):
     )
     log.info("Config: %s", json.dumps(cfg))
     log.info("Experiment dir: %s", exp_dir)
+    _log_env(log)
 
     if args.mode == "kill":
         if args.adhoc and not args.exp_dir:
