@@ -235,10 +235,19 @@ def main():
 
     vs_baseline = None
     # The recorded reference baseline is CFR-only; an FP/CFR ratio
-    # would be meaningless.
+    # would be meaningless. Configuration-matched comparison
+    # (REF_BASELINE.json, both sides at -O3 -march=native x60 threads):
+    # the default fused-net bench compares against the reference
+    # running its real TorchScript net per iteration (its production
+    # cpu_gen_threads mode, README.md:36-44); --no-net compares the
+    # bare solver loop against the reference's zero-net bound.
     if REF_BASELINE_PATH.exists() and not args.fp:
         ref = json.loads(REF_BASELINE_PATH.read_text())
-        base = ref.get("cfr_iters_per_s_60threads")
+        base = ref.get(
+            "zero_net_cfr_iters_per_s_60threads"
+            if args.no_net
+            else "cfr_iters_per_s_60threads"
+        )
         if base:
             vs_baseline = res["cfr_iters_per_s"] / base
 
@@ -250,6 +259,11 @@ def main():
                 "value": round(res["cfr_iters_per_s"], 1),
                 "unit": "iters/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "baseline_config": (
+                    None if args.fp else
+                    "ref -O3 60-thread bound, "
+                    + ("zero net" if args.no_net else "TorchScript net")
+                ),
                 "detail": {
                     "subgames_per_s": round(res["subgames_per_s"], 1),
                     "examples_per_s": round(res["examples_per_s"], 1),

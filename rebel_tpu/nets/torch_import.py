@@ -116,3 +116,55 @@ def params_to_net2_state_dict(params: dict, spec: CFVNetSpec) -> dict:
         np.asarray(p[f"Dense_{spec.n_layers}"]["bias"]).copy()
     )
     return sd
+
+
+def build_torch_net2(spec: CFVNetSpec):
+    """A torch module with the reference ``Net2``'s exact structure and
+    state-dict layout (/root/reference/cfvpy/models.py:20-94): ``body``
+    Sequential of [Linear, LayerNorm-or-empty, GELU, empty-Dropout-slot]
+    per layer plus an ``output`` Linear, forward = output(body(x)).
+    Built fresh here (not copied) so CFVNet params can be round-tripped
+    into the interchange format the reference's C++ eval consumes
+    (TorchScriptNet, real_net.cc:57-87)."""
+    import torch
+    from torch import nn
+
+    n_in = 2 + spec.game.num_actions + 2 * spec.game.num_hands
+    layers: list = []
+    last = n_in
+    for _ in range(spec.n_layers):
+        layers.append(nn.Linear(last, spec.n_hidden))
+        layers.append(
+            nn.LayerNorm(spec.n_hidden)
+            if spec.use_layer_norm
+            else nn.Sequential()
+        )
+        layers.append(nn.GELU())  # exact erf form, matching flax CFVNet
+        layers.append(nn.Sequential())  # dropout slot (always 0 here)
+        last = spec.n_hidden
+
+    class _Net2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = nn.Sequential(*layers)
+            self.output = nn.Linear(last, spec.game.num_hands)
+
+        def forward(self, packed_input: torch.Tensor) -> torch.Tensor:
+            return self.output(self.body(packed_input))
+
+    return _Net2()
+
+
+def export_torchscript(params: dict, spec: CFVNetSpec, path: str):
+    """Export CFVNet params as a TorchScript ``Net2`` archive — the
+    reference's model-interchange format (torch.jit.save at
+    selfplay.py:548-552, loaded by real_net.cc:57-71) — so nets trained
+    in this framework run under the reference's own eval binaries."""
+    import torch
+
+    net = build_torch_net2(spec)
+    net.load_state_dict(params_to_net2_state_dict(params, spec))
+    net.eval()
+    scripted = torch.jit.script(net)
+    torch.jit.save(scripted, path)
+    return path

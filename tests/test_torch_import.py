@@ -112,3 +112,26 @@ def test_net2_export_roundtrip(tmp_path):
     spec2, params2 = load_net2_checkpoint(str(path), game)
     got2 = np.asarray(spec2.value_fn(params2)(x))
     np.testing.assert_allclose(got2, got, atol=1e-7)
+
+
+def test_export_torchscript_runs_standalone(tmp_path):
+    """export_torchscript produces a TorchScript archive that loads and
+    evaluates WITHOUT any rebel_tpu code — the interchange contract the
+    reference's C++ eval relies on (torch::jit::load, real_net.cc:57-71)."""
+    import jax
+
+    from rebel_tpu.nets.cfv_net import CFVNetSpec
+    from rebel_tpu.nets.torch_import import export_torchscript
+
+    game = LiarsDice(num_dice=1, num_faces=4)
+    spec = CFVNetSpec(game=game, n_hidden=32, n_layers=2)
+    params = spec.init_params(jax.random.PRNGKey(7))
+    path = tmp_path / "export.torchscript"
+    export_torchscript(params, spec, str(path))
+
+    loaded = torch.jit.load(str(path))
+    x = np.random.RandomState(4).rand(8, game.query_size).astype(np.float32)
+    with torch.no_grad():
+        want = loaded(torch.from_numpy(x)).numpy()
+    got = np.asarray(spec.value_fn(params)(x))
+    np.testing.assert_allclose(got, want, atol=2e-6)

@@ -21,6 +21,7 @@ using namespace liars_dice;
 int main(int argc, char** argv) {
   int num_dice = 1, num_faces = 4, num_iters = 1024, episodes = 20;
   bool use_cfr = true;
+  const char* net_path = nullptr;  // TorchScript net (CPU) instead of zero
   for (int i = 1; i < argc; ++i) {
     auto is = [&](const char* f) { return !strcmp(argv[i], f); };
     if (is("--num_dice")) num_dice = atoi(argv[++i]);
@@ -28,6 +29,7 @@ int main(int argc, char** argv) {
     else if (is("--num_iters")) num_iters = atoi(argv[++i]);
     else if (is("--episodes")) episodes = atoi(argv[++i]);
     else if (is("--fp")) use_cfr = false;
+    else if (is("--net")) net_path = argv[++i];
   }
   RecursiveSolvingParams params;
   params.num_dice = num_dice;
@@ -40,7 +42,30 @@ int main(int argc, char** argv) {
   params.subgame_params.use_cfr = use_cfr;
 
   Game game(num_dice, num_faces);
-  auto net = create_zero_net(game.num_hands(), /*verbose=*/false);
+  // Default: zero net (upper-bounds the reference's solver loop with
+  // free leaf values). --net: the production configuration — a real
+  // TorchScript MLP evaluated at every CFR iteration, matching what
+  // gen_benchmark measures (gen_benchmark.cc:114-143) and what
+  // bench.py's fused kernel computes on the TPU side.
+  auto net = net_path
+                 ? create_torchscript_net(std::string(net_path), "cpu")
+                 : create_zero_net(game.num_hands(), /*verbose=*/false);
+  if (net_path) {
+    // TorchScriptNet::add_training_example throws ("query only"); in the
+    // production stack the CVNetBufferConnector absorbs examples into the
+    // replay buffer (data_loop.h:50-55). A sink wrapper plays that role
+    // so RlRunner::step can complete episodes.
+    struct SinkNet : public IValueNet {
+      std::shared_ptr<IValueNet> inner;
+      explicit SinkNet(std::shared_ptr<IValueNet> inner) : inner(inner) {}
+      torch::Tensor compute_values(const torch::Tensor query) override {
+        return inner->compute_values(query);
+      }
+      void add_training_example(const torch::Tensor, const torch::Tensor)
+          override {}
+    };
+    net = std::make_shared<SinkNet>(net);
+  }
   int solves = 0;
   auto counting_net = net;  // zero net; solves counted via runner episodes
 
