@@ -77,6 +77,67 @@ class SpmdState(NamedTuple):
     keys: jax.Array  # [n_dev, 2] one PRNG key per device
 
 
+def gather_to_host(mesh: Mesh, tree):
+    """Host (numpy) copy of a (possibly sharded) global pytree: reshard
+    to fully-replicated on device (one all-gather over the mesh), then
+    read the local replica. Works identically on single-process
+    multi-device meshes and jax.distributed multi-process runtimes —
+    the collective is inside jit, so every process must call this."""
+    sharding = NamedSharding(mesh, P())
+    gathered = jax.jit(lambda t: t, out_shardings=sharding)(tree)
+    return jax.tree.map(
+        lambda x: np.asarray(x.addressable_data(0)), gathered
+    )
+
+
+def ring_valid_rows(
+    replay_host, n_dev: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Valid (queries, values) rows of a host copy of the SPMD replay —
+    n_dev device-local rings stored as row segments of one global array,
+    each with its own head/size — ordered oldest-first within each
+    segment (the multi-ring analog of replay.extract)."""
+    local_cap = replay_host.queries.shape[0] // n_dev
+    qs, vs = [], []
+    for d in range(n_dev):
+        size = int(replay_host.size[d])
+        head = int(replay_host.head[d])
+        order = d * local_cap + (head - size + np.arange(size)) % local_cap
+        qs.append(replay_host.queries[order])
+        vs.append(replay_host.values[order])
+    return np.concatenate(qs), np.concatenate(vs)
+
+
+def rows_to_ring(
+    base, rows_q: np.ndarray, rows_v: np.ndarray, n_dev: int
+):
+    """Distribute preloaded dataset rows round-robin across the n_dev
+    device-local rings of an (empty) SPMD replay host structure — the
+    multi-ring analog of replay.load_into (prioritized_replay.h:329-335)."""
+    local_cap = base.queries.shape[0] // n_dev
+    q = np.asarray(base.queries).copy()
+    v = np.asarray(base.values).copy()
+    p = np.asarray(base.priorities).copy()
+    head = np.zeros((n_dev,), np.int32)
+    size = np.zeros((n_dev,), np.int32)
+    num_add = np.zeros((n_dev,), np.int32)
+    for d in range(n_dev):
+        rq, rv = rows_q[d::n_dev], rows_v[d::n_dev]
+        n = len(rq)
+        keep = min(n, local_cap)
+        rq, rv = rq[-keep:], rv[-keep:]
+        q[d * local_cap : d * local_cap + keep] = rq
+        v[d * local_cap : d * local_cap + keep] = rv
+        p[d * local_cap : d * local_cap + keep] = 1.0
+        head[d] = keep % local_cap
+        size[d] = keep
+        num_add[d] = n
+    return base._replace(
+        queries=q, values=v, priorities=p,
+        head=head, size=size, num_add=num_add,
+    )
+
+
 def make_spmd_programs(
     trainer, mesh: Mesh, axis: str = "data", hands_axis: str | None = None
 ):

@@ -510,11 +510,17 @@ class Trainer:
         analog, for games whose ``num_hands = faces^dice`` outgrows one
         device.
 
-        Checkpoints (params + opt state + epoch; master only) land in
-        ``ckpt/epoch<N>.spmd.ckpt`` and are reloaded on ``resume``. The
-        replay ring and episode states restart empty on resume (they are
-        device-sharded; persisting them across a changed mesh is not
-        supported) with the RNG stream seeded past the resume epoch.
+        Checkpoints are FULL state (params + opt state + the gathered
+        device-sharded replay ring, episode states and per-device RNG
+        keys + epoch; master only) in ``ckpt/epoch<N>.spmd.ckpt``,
+        matching the single-process path's full-state semantics. On
+        ``resume`` the sharded state is re-laid onto the mesh, provided
+        the data-axis size matches the checkpoint's; on a mesh-size
+        mismatch (or an old params-only checkpoint) the rings restart
+        empty with the RNG stream seeded past the resume epoch, as
+        before. Validation snapshots, dataset dump/preload and buffer
+        purging run here too (selfplay.py:352-375,513-521 parity on the
+        SPMD path).
         """
         from rebel_tpu.parallel import mesh as meshlib
 
@@ -545,12 +551,24 @@ class Trainer:
             """Host value of a replicated global array."""
             return np.asarray(x.addressable_data(0))
 
-        total_added = jax.jit(
-            lambda r: r.num_add.sum(),
-            out_shardings=jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec()
-            ),
+        n_data = mesh.shape["data"]
+        replicated = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()
         )
+        total_added = jax.jit(
+            lambda r: r.num_add.sum(), out_shardings=replicated
+        )
+        total_size = jax.jit(
+            lambda r: r.size.sum(), out_shardings=replicated
+        )
+        # popUntil analog per device ring (prioritized_replay.h:356-361).
+        pop_rings = jax.jit(
+            lambda r, n: r._replace(
+                size=jnp.minimum(r.size, jnp.int32(n))
+            ),
+            static_argnums=(1,),
+        )
+        local_keep_min = cfg.train_batch_size // n_data
 
         start_epoch = 0
         saved = None
@@ -564,22 +582,75 @@ class Trainer:
                 with open(ckpts[-1], "rb") as f:
                     saved = pickle.load(f)
                 start_epoch = int(saved["epoch"]) + 1
-        # Seed the self-play stream past the resume point — a resumed
-        # run must not replay epoch 0's episodes (the replay ring and
-        # episode states restart empty/fresh on the SPMD path; the
-        # single-process path restores them from the full-state ckpt).
-        state = init_state(cfg.seed + start_epoch)
+        # Full-state resume needs the checkpoint's data-axis size to
+        # match the current mesh (ring rows and head/size vectors are
+        # laid out per device). Otherwise fall back to fresh rings with
+        # the self-play RNG stream seeded past the resume point — a
+        # resumed run must not replay epoch 0's episodes.
+        full_resume = (
+            saved is not None
+            and "replay" in saved
+            and saved.get("n_data") == n_data
+        )
+        state = init_state(cfg.seed + (0 if full_resume else start_epoch))
         if saved is not None:
             state = state._replace(
                 params=meshlib.replicate(mesh, saved["params"]),
                 opt_state=meshlib.replicate(mesh, saved["opt_state"]),
             )
-            log.info("run_spmd: resumed from %s (epoch %d)",
-                     ckpts[-1], start_epoch)
+            if full_resume:
+                state = state._replace(
+                    episodes=meshlib.shard_batch(mesh, saved["episodes"]),
+                    replay=meshlib.shard_batch(mesh, saved["replay"]),
+                    keys=meshlib.shard_batch(mesh, saved["keys"]),
+                )
+            elif "replay" in saved:
+                log.warning(
+                    "run_spmd: checkpoint was written on a %s-wide data "
+                    "axis but the mesh has %s; replay ring and episode "
+                    "states restart empty", saved.get("n_data"), n_data,
+                )
+            log.info("run_spmd: resumed from %s (epoch %d%s)",
+                     ckpts[-1], start_epoch,
+                     ", full state" if full_resume else ", params+opt only")
+        # Gen-throttle anchor: with full state restored, num_add already
+        # carries the pre-resume generation, so the cumulative target
+        # counts from epoch 0 (selfplay.py:391-405); with fresh rings it
+        # must not demand the pre-resume epochs' generation again.
+        throttle_base = 0 if full_resume else start_epoch
 
+        self.out_dir.mkdir(parents=True, exist_ok=True)
         metrics_path = self.out_dir / "metrics.jsonl"
         heartbeat = self.out_dir / "heartbeat"
         all_metrics = []
+        val_sets: list[tuple[str, np.ndarray, np.ndarray]] = []
+        # Dataset preload (selfplay.py:273-278), SPMD analog: rows are
+        # distributed round-robin across the device-local rings. Every
+        # process reads the file and lays out identically.
+        if cfg.train_preload and int(local(total_added(state.replay))) == 0:
+            log.info("Preloading dataset from %s", cfg.train_preload)
+            from rebel_tpu.selfplay import replay as rb
+
+            rows_q, rows_v = rb.load_file(cfg.train_preload)
+            # The ring arrays are sharded — lay the rows out on an empty
+            # host base of the same global shape, then reshard.
+            base = type(state.replay)(
+                queries=np.zeros(
+                    state.replay.queries.shape, np.float32
+                ),
+                values=np.zeros(state.replay.values.shape, np.float32),
+                priorities=np.zeros(
+                    state.replay.priorities.shape, np.float32
+                ),
+                head=np.zeros((n_data,), np.int32),
+                size=np.zeros((n_data,), np.int32),
+                num_add=np.zeros((n_data,), np.int32),
+            )
+            state = state._replace(
+                replay=meshlib.shard_batch(
+                    mesh, meshlib.rows_to_ring(base, rows_q, rows_v, n_data)
+                )
+            )
         # Burn-in (selfplay.py:314-327).
         while int(local(total_added(state.replay))) < (
             4 * cfg.train_batch_size
@@ -597,15 +668,61 @@ class Trainer:
         try:
             for epoch in range(start_epoch, max_epochs):
                 wd.alive(epoch)
+                # Validation snapshots from the replay (selfplay.py:352-362),
+                # SPMD analog: every process gathers the ring (collective)
+                # and samples with the same seed, so processes stay in
+                # lockstep and hold identical snapshots; only the master
+                # logs the val losses.
+                if (
+                    cfg.create_validation_set_every
+                    and epoch % cfg.create_validation_set_every == 0
+                ):
+                    host_replay = meshlib.gather_to_host(mesh, state.replay)
+                    rows_q, rows_v = meshlib.ring_valid_rows(
+                        host_replay, n_data
+                    )
+                    if len(rows_q):
+                        rng = np.random.default_rng(cfg.seed * 9973 + epoch)
+                        idx = rng.integers(
+                            0, len(rows_q),
+                            cfg.validation_batches * cfg.train_batch_size,
+                        )
+                        val_sets.append(
+                            (
+                                f"valid_snapshot_{epoch:04d}",
+                                rows_q[idx], rows_v[idx],
+                            )
+                        )
+                # Periodic dataset dump (selfplay.py:364-375): master
+                # writes the gathered rows in the reference binary format.
+                if (
+                    cfg.dump_dataset_every_epochs
+                    and epoch % cfg.dump_dataset_every_epochs == 0
+                ):
+                    from rebel_tpu.selfplay import replay as rb
+
+                    host_replay = meshlib.gather_to_host(mesh, state.replay)
+                    if is_master:
+                        rows_q, rows_v = meshlib.ring_valid_rows(
+                            host_replay, n_data
+                        )
+                        dump_dir = self.out_dir / "dumped_data"
+                        dump_dir.mkdir(parents=True, exist_ok=True)
+                        rb.save(
+                            rb.Replay(
+                                queries=rows_q, values=rows_v,
+                                priorities=np.ones(len(rows_q), np.float32),
+                                head=np.int32(0),
+                                size=np.int32(len(rows_q)),
+                                num_add=np.int32(len(rows_q)),
+                            ),
+                            str(dump_dir / f"data_{epoch:03d}.dat"),
+                        )
                 t0 = time.time()
-                # Gen throttle relative to the resume point: the ring
-                # restarts empty, so the cumulative target must not demand
-                # the pre-resume epochs' generation again
-                # (selfplay.py:391-405 counts from the process start too).
                 while cfg.train_gen_ratio and int(
                     local(total_added(state.replay))
                 ) * cfg.train_gen_ratio < train_size * (
-                    epoch + 1 - start_epoch
+                    epoch + 1 - throttle_base
                 ):
                     eps, rep, keys = gen_step(
                         state.params, state.episodes, state.replay, state.keys
@@ -651,6 +768,31 @@ class Trainer:
                         sum(s["val_sums"] for s in host),
                     )
                 )
+                # Buffer purge at configured epochs (selfplay.py:513-521):
+                # each device ring keeps its share of the global target.
+                if cfg.purging_epochs and (epoch + 1) in cfg.purging_epochs:
+                    keep_local = max(
+                        2 * local_keep_min,
+                        int(
+                            cfg.purging_share_keep
+                            * int(local(total_size(state.replay)))
+                        )
+                        // n_data,
+                    )
+                    state = state._replace(
+                        replay=pop_rings(state.replay, keep_local)
+                    )
+                # Full-state checkpoint: the gather is a collective, so
+                # every process joins it; only the master writes.
+                do_ckpt = epoch % cfg.checkpoint_every == 0
+                if do_ckpt:
+                    full_host = {
+                        "episodes": meshlib.gather_to_host(
+                            mesh, state.episodes
+                        ),
+                        "replay": meshlib.gather_to_host(mesh, state.replay),
+                        "keys": meshlib.gather_to_host(mesh, state.keys),
+                    }
                 if is_master:
                     heartbeat.touch()
                     if cfg.exploit and cfg.exploit_every and (
@@ -677,14 +819,26 @@ class Trainer:
                         ),
                         mesh.devices.size, jax.process_count(),
                     )
+                    if do_ckpt:
+                        # Validation losses on the snapshot sets at
+                        # checkpoint epochs (selfplay.py:523-552 parity).
+                        for name, vq, vv in val_sets:
+                            metrics[f"loss/{name}"] = float(
+                                self._loss_eval(
+                                    jax.tree.map(local, state.params),
+                                    jnp.asarray(vq), jnp.asarray(vv),
+                                )
+                            )
                     with open(metrics_path, "a") as f:
                         f.write(json.dumps(metrics) + "\n")
-                    if epoch % cfg.checkpoint_every == 0:
+                    if do_ckpt:
                         ckpt_dir.mkdir(parents=True, exist_ok=True)
                         host = {
                             "params": jax.tree.map(local, state.params),
                             "opt_state": jax.tree.map(local, state.opt_state),
                             "epoch": epoch,
+                            "n_data": n_data,
+                            **full_host,
                         }
                         tmp = ckpt_dir / f".epoch{epoch}.spmd.ckpt.tmp"
                         with open(tmp, "wb") as f:

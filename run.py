@@ -121,7 +121,10 @@ def main(argv=None):
     )
     log.info("Config: %s", json.dumps(cfg))
     log.info("Experiment dir: %s", exp_dir)
-    _log_env(log)
+    if args.dist is None:
+        # Launched ranks defer the device probe: jax.devices() must not
+        # run before jax.distributed.initialize below.
+        _log_env(log)
 
     if args.mode == "kill":
         if args.adhoc and not args.exp_dir:
@@ -147,6 +150,7 @@ def main(argv=None):
 
         coord, n, i = args.dist.rsplit(",", 2)
         initialize(coord, int(n), int(i))
+        _log_env(log)
         # NB: every rank shares the SAME exp dir (resume state must be
         # identical across ranks or the SPMD loops diverge and deadlock
         # at the first collective); filesystem writes are master-gated

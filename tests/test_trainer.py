@@ -143,10 +143,13 @@ def test_run_spmd_hands_mesh(tmp_path):
 
 def test_run_spmd_resume(tmp_path):
     """Killing an SPMD run and rerunning with resume=True continues from
-    the last epoch<N>.spmd.ckpt: params/opt restored, the epoch loop and
-    the gen throttle both restart from the resume point (the replay ring
-    is device-sharded and restarts empty, so the cumulative throttle
-    target must not demand the pre-resume epochs' generation again)."""
+    the last epoch<N>.spmd.ckpt with FULL state: params/opt restored AND
+    the device-sharded replay ring, episode states and per-device RNG
+    keys — matching the single-process path's full-state semantics
+    (trainer.py save_checkpoint), beyond the reference's weights-only
+    warm start (selfplay.py:548-552)."""
+    import pickle
+
     cfg = small_cfg(
         selfplay_batch=8,
         train_batch_size=8,
@@ -157,12 +160,21 @@ def test_run_spmd_resume(tmp_path):
         exploit_every=2,
     )
     trainer = Trainer(cfg, out_dir=tmp_path)
-    _, metrics1 = trainer.run_spmd(max_epochs=2, resume=False)
+    state1, metrics1 = trainer.run_spmd(max_epochs=2, resume=False)
     assert [m["epoch"] for m in metrics1] == [0, 1]
-    assert (tmp_path / "ckpt" / "epoch1.spmd.ckpt").exists()
+    ckpt_path = tmp_path / "ckpt" / "epoch1.spmd.ckpt"
+    assert ckpt_path.exists()
+    with open(ckpt_path, "rb") as f:
+        saved = pickle.load(f)
+    # Full state present in the checkpoint.
+    for key in ("params", "opt_state", "replay", "episodes", "keys"):
+        assert key in saved, key
+    added_at_ckpt = int(saved["replay"].num_add.sum())
+    assert added_at_ckpt > 0
+    sizes_at_ckpt = np.asarray(saved["replay"].size)
 
     trainer2 = Trainer(cfg, out_dir=tmp_path)
-    _, metrics2 = trainer2.run_spmd(max_epochs=3, resume=True)
+    state2, metrics2 = trainer2.run_spmd(max_epochs=3, resume=True)
     assert [m["epoch"] for m in metrics2] == [2]
     assert np.isfinite(metrics2[0]["loss/train"])
     # Metric parity with the single-process path: per-last-action
@@ -170,12 +182,26 @@ def test_run_spmd_resume(tmp_path):
     # (epoch 2 matches exploit_every=2).
     assert "shares/train_initial" in metrics2[0]
     assert np.isfinite(metrics2[0]["optim/grad_max"])
-    assert np.isfinite(metrics2[0]["exploitability_last"])
-    # Throttle counted from the resume point: burn-in (4*batch = 32
-    # examples) already covers epoch 2's quota of 64/4 = 16, so no extra
-    # generation happens.  Counting from epoch 0 (the bug) would demand
-    # 3*64/4 = 48 and generate an extra chunk.
-    assert metrics2[0]["buffer/added"] <= 4 * cfg.train_batch_size
+    assert np.isfinite(
+        metrics2[0].get(
+            "exploitability_avg", metrics2[0].get("exploitability_last")
+        )
+    )
+    # Ring preserved: the resumed run's cumulative added count carries
+    # the pre-resume generation (fresh rings would restart at 0 and the
+    # old throttle would re-anchor), and its sizes only grow.
+    assert metrics2[0]["buffer/added"] >= added_at_ckpt
+    from rebel_tpu.parallel import mesh as meshlib
+    import jax as _jax
+
+    mesh = meshlib.make_mesh()
+    replay2 = meshlib.gather_to_host(mesh, state2.replay)
+    assert (np.asarray(replay2.size) >= sizes_at_ckpt).all()
+    # Throttle counts from epoch 0 with a restored ring: epoch 2's
+    # cumulative quota is 3*64/4 = 48 examples total, already covered by
+    # the resumed num_add when it exceeds 48 — generation on resume adds
+    # at most one quota's worth, never re-runs the pre-resume epochs.
+    assert metrics2[0]["buffer/added"] <= max(added_at_ckpt, 48) + 32
 
 
 def test_engine_kinds():
@@ -375,3 +401,53 @@ def test_run_spmd_checkpoint_retention(tmp_path):
         "epoch3.spmd.ckpt", "epoch4.spmd.ckpt"
     ]
     assert len(list((tmp_path / "ckpt").glob("epoch*.params"))) == 5
+
+
+def test_spmd_validation_dump_preload_purge(tmp_path):
+    """The SPMD path now carries the single-process path's aux
+    subsystems: validation snapshots from the gathered ring (with val
+    losses at checkpoint epochs), reference-format dataset dumps,
+    dataset preload distributed across device rings, and buffer purging
+    (selfplay.py:352-375,513-521)."""
+    from rebel_tpu.selfplay import replay as rb
+
+    cfg = small_cfg(
+        selfplay_batch=8,
+        train_batch_size=8,
+        train_epoch_size=64,
+        replay_capacity=512,
+        checkpoint_every=2,
+        create_validation_set_every=2,
+        dump_dataset_every_epochs=2,
+        purging_epochs=(2,),
+        purging_share_keep=0.5,
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path)
+    _, metrics = trainer.run_spmd(max_epochs=3, resume=False)
+    # Validation snapshot losses logged at the checkpoint epoch.
+    ckpt_metrics = [m for m in metrics if "loss/valid_snapshot_0002" in m]
+    assert ckpt_metrics and np.isfinite(
+        ckpt_metrics[0]["loss/valid_snapshot_0002"]
+    )
+    # Dataset dump exists and reads back in the reference binary format.
+    dump = tmp_path / "dumped_data" / "data_002.dat"
+    assert dump.exists()
+    q, v = rb.load_file(str(dump))
+    assert q.shape[0] == v.shape[0] > 0
+    game_qsize = trainer.game.query_size
+    assert q.shape[1] == game_qsize
+
+    # Preload: a fresh SPMD run seeded from the dump starts with the
+    # rows already distributed across the device rings.
+    cfg2 = small_cfg(
+        selfplay_batch=8,
+        train_batch_size=8,
+        train_epoch_size=64,
+        replay_capacity=512,
+        train_preload=str(dump),
+        train_gen_ratio=0,  # no extra generation needed
+    )
+    trainer2 = Trainer(cfg2, out_dir=tmp_path / "preloaded")
+    state2, metrics2 = trainer2.run_spmd(max_epochs=1, resume=False)
+    assert metrics2[0]["buffer/added"] >= q.shape[0]
+    assert np.isfinite(metrics2[0]["loss/train"])
