@@ -42,7 +42,16 @@ def main():
     ap.add_argument("--num-repeats", type=int, default=1024)
     ap.add_argument("--mdp-depth", type=int, default=2)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--f32", action="store_true")
+    ap.add_argument(
+        "--f32", dest="f64", action="store_false",
+        help="solver in float32 (the default; kept for compatibility)")
+    ap.add_argument(
+        "--f64", dest="f64", action="store_true",
+        help="solver in float64: enables jax x64 (without it a float64 "
+        "request silently truncates to f32 — the round-2 1x5f-cfr eval "
+        "artifact). Matches the reference's double-precision math; "
+        "slow on TPU, fine on CPU.")
+    ap.set_defaults(f64=False)
     ap.add_argument(
         "--resume", action="store_true",
         help="continue a killed phase-2 eval from its streamed "
@@ -67,7 +76,11 @@ def main():
     from rebel_tpu.games.liars_dice import LiarsDice
     from rebel_tpu.solving.params import SubgameSolvingParams
 
-    dtype = jnp.float32 if args.f32 else jnp.float64
+    if args.f64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if args.f64 else jnp.float32
     rows = []
     for gstr in args.games:
         nd, nf = parse_game(gstr)
