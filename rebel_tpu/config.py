@@ -236,6 +236,8 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         "purging_share_keep",
         "train_preload",
         "stall_timeout_s",
+        "benchmark_data_gen",
+        "fake_training",
     }
     for k in list(c):
         if k in direct:
@@ -247,8 +249,6 @@ def cfg_to_trainer_config(cfg: dict) -> TrainerConfig:
         "task",
         "min_buffer_to_send",
         "show_progress_bar",
-        "benchmark_data_gen",
-        "fake_training",
         "train_policy",
     }
     for k in list(c):

@@ -114,6 +114,13 @@ class TrainerConfig:
     validation_batches: int = 16
     # Dataset preload before training (selfplay.py:273-278, 613-621).
     train_preload: str | None = None
+    # Benchmark modes (selfplay.py:285-293, 474-481): benchmark_data_gen
+    # generates for ~N seconds with no training, logs the reference's
+    # "BENCHMARK size ... speed ..." line and returns; fake_training runs
+    # the full epoch loop but skips the train step, so generation speed
+    # can be read without sampling/update cost.
+    benchmark_data_gen: float = 0.0
+    fake_training: bool = False
     dump_dataset_every_epochs: int = 0
     purging_epochs: tuple = ()
     purging_share_keep: float = 0.0
@@ -358,6 +365,25 @@ class Trainer:
         num_add_base = int(state.replay.num_add)
         epoch_base = int(state.epoch)
 
+        # Generation-speed benchmark (selfplay.py:285-293): generate for
+        # ~benchmark_data_gen seconds with no training, log the
+        # reference's BENCHMARK line, and return.
+        if cfg.benchmark_data_gen:
+            t0 = time.time()
+            while time.time() - t0 < cfg.benchmark_data_gen:
+                state = self._gen(state)
+            size = int(state.replay.num_add) - num_add_base  # syncs device
+            elapsed = time.time() - t0
+            log.info("BENCHMARK size %s speed %.2f", size, size / elapsed)
+            metrics = {
+                "benchmark/examples": size,
+                "benchmark/examples_per_s": size / elapsed,
+                "benchmark/seconds": elapsed,
+            }
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(metrics) + "\n")
+            return state, [metrics]
+
         # Burn-in (selfplay.py:314-327).
         while int(state.replay.size) < 2 * batch:
             state = self._gen(state)
@@ -411,28 +437,42 @@ class Trainer:
                 gen_time += time.time() - t0
 
                 t0 = time.time()
-                key, k_train = jax.random.split(state.key)
-                params, opt_state, stats = self._train_chunk(
-                    state.params,
-                    state.opt_state,
-                    state.replay,
-                    k_train,
-                    self.steps_per_epoch,
-                )
-                stats = jax.tree.map(np.asarray, stats)
-                state = state._replace(
-                    params=params,
-                    opt_state=opt_state,
-                    key=key,
-                    epoch=jnp.int32(epoch + 1),
-                )
+                if cfg.fake_training:
+                    # Generation benchmarking: skip the train step so gen
+                    # speed is readable without sampling/update cost
+                    # (selfplay.py:474-481; no 60 s sleep — the throttle
+                    # above already paces generation per nominal epoch).
+                    key, _ = jax.random.split(state.key)
+                    state = state._replace(
+                        key=key, epoch=jnp.int32(epoch + 1)
+                    )
+                    metrics = {
+                        "epoch": epoch,
+                        "buffer/size": int(state.replay.size),
+                        "buffer/added": int(state.replay.num_add),
+                    }
+                else:
+                    key, k_train = jax.random.split(state.key)
+                    params, opt_state, stats = self._train_chunk(
+                        state.params,
+                        state.opt_state,
+                        state.replay,
+                        k_train,
+                        self.steps_per_epoch,
+                    )
+                    stats = jax.tree.map(np.asarray, stats)
+                    state = state._replace(
+                        params=params,
+                        opt_state=opt_state,
+                        key=key,
+                        epoch=jnp.int32(epoch + 1),
+                    )
+                    metrics = self._epoch_metrics(state, stats, epoch)
+                    metrics["bps/train"] = self.steps_per_epoch / max(
+                        time.time() - t0, 1e-9
+                    )
+                    metrics["bps/train_examples"] = metrics["bps/train"] * batch
                 train_time += time.time() - t0
-
-                metrics = self._epoch_metrics(state, stats, epoch)
-                metrics["bps/train"] = self.steps_per_epoch / max(
-                    time.time() - t0, 1e-9
-                )
-                metrics["bps/train_examples"] = metrics["bps/train"] * batch
                 metrics["bps/gen"] = (
                     (int(state.replay.num_add) - num_add_base)
                     / max(gen_time, 1e-9) / batch
@@ -468,12 +508,12 @@ class Trainer:
                 log.info(
                     "[Train] epoch %d loss %.6f exploit %s lr %.2e",
                     epoch,
-                    metrics["loss/train"],
+                    metrics.get("loss/train", float("nan")),
                     metrics.get(
                         "exploitability_avg",
                         metrics.get("exploitability_last", "-"),
                     ),
-                    metrics["optim/lr"],
+                    metrics.get("optim/lr", float("nan")),
                 )
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(metrics) + "\n")

@@ -78,7 +78,7 @@ def main(argv=None):
     ap.add_argument(
         "--mode", default="gentle_start",
         choices=("gentle_start", "start_restart", "start_continue",
-                 "restart", "dryrun", "kill"),
+                 "restart", "dryrun", "kill", "submit", "cluster_status"),
     )
     ap.add_argument("--out_root", default="outputs")
     ap.add_argument(
@@ -121,12 +121,44 @@ def main(argv=None):
     )
     log.info("Config: %s", json.dumps(cfg))
     log.info("Experiment dir: %s", exp_dir)
-    if args.dist is None:
-        # Launched ranks defer the device probe: jax.devices() must not
-        # run before jax.distributed.initialize below.
+    if args.dist is None and args.mode not in (
+        "kill", "submit", "cluster_status"
+    ):
+        # Launched ranks defer the device probe (jax.devices() must not
+        # run before jax.distributed.initialize below); management
+        # modes never touch the device backend at all.
         _log_env(log)
 
+    if args.mode == "submit":
+        # Managed-cluster submission (the heyhi/submitit role,
+        # heyhi/__init__.py:361-406): render + apply a GKE JobSet /
+        # xpk workload / gcloud queued-resource whose pods run this
+        # experiment with --mode start_continue (resume-safe restarts).
+        from rebel_tpu.parallel import cluster as clusterlib
+
+        cl_cfg = clusterlib.config_from_dict(
+            launcher_cfg.get("cluster", {}) or {}
+        )
+        record = clusterlib.submit(exp_dir, cl_cfg, args.cfg,
+                                   args.overrides)
+        log.info("Cluster submission: %s", json.dumps(record, indent=1))
+        return 0
+
+    if args.mode == "cluster_status":
+        from rebel_tpu.parallel import cluster as clusterlib
+
+        print(clusterlib.status(exp_dir))
+        return 0
+
     if args.mode == "kill":
+        # A cluster-submitted experiment is cancelled at the cluster
+        # (the scancel analog), not by local PID.
+        if (exp_dir / "cluster.json").exists():
+            from rebel_tpu.parallel import cluster as clusterlib
+
+            ok = clusterlib.cancel(exp_dir)
+            log.info("cluster cancel: %s", "ok" if ok else "unavailable")
+            return 0 if ok else 1
         if args.adhoc and not args.exp_dir:
             # --adhoc salts the dir name with the launch time, so a
             # fresh kill invocation can never re-derive the running

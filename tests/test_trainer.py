@@ -451,3 +451,39 @@ def test_spmd_validation_dump_preload_purge(tmp_path):
     state2, metrics2 = trainer2.run_spmd(max_epochs=1, resume=False)
     assert metrics2[0]["buffer/added"] >= q.shape[0]
     assert np.isfinite(metrics2[0]["loss/train"])
+
+
+def test_benchmark_data_gen_mode(tmp_path):
+    # Generation-only benchmark (selfplay.py:285-293): generates for ~N
+    # seconds, logs BENCHMARK, returns without any training step.
+    trainer = Trainer(small_cfg(benchmark_data_gen=0.5), out_dir=tmp_path)
+    state, metrics = trainer.run()
+    assert len(metrics) == 1
+    m = metrics[0]
+    assert m["benchmark/examples"] > 0
+    assert m["benchmark/examples_per_s"] > 0
+    assert int(state.epoch) == 0  # no epochs trained
+    # Params untouched: identical to a fresh init with the same seed.
+    fresh = Trainer(small_cfg(benchmark_data_gen=0.5), out_dir=tmp_path)
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(fresh.init_state().params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fake_training_mode(tmp_path):
+    # fake_training (selfplay.py:474-481): full epoch loop, generation
+    # throttle engaged, but the train step is skipped.
+    trainer = Trainer(small_cfg(fake_training=True, max_epochs=3), out_dir=tmp_path)
+    state, metrics = trainer.run()
+    assert len(metrics) == 3
+    m = metrics[-1]
+    assert "loss/train" not in m  # no training happened
+    assert m["bps/gen_examples"] > 0
+    # Throttle still paced generation: >= epoch_size*epochs/train_gen_ratio.
+    assert m["buffer/added"] >= 128 * 3 // 4
+    fresh = Trainer(small_cfg(fake_training=True), out_dir=tmp_path)
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(fresh.init_state().params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
