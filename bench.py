@@ -241,6 +241,7 @@ def main():
     # running its real TorchScript net per iteration (its production
     # cpu_gen_threads mode, README.md:36-44); --no-net compares the
     # bare solver loop against the reference's zero-net bound.
+    vs_zero_net_ref = None
     if REF_BASELINE_PATH.exists() and not args.fp:
         ref = json.loads(REF_BASELINE_PATH.read_text())
         base = ref.get(
@@ -250,6 +251,13 @@ def main():
         )
         if base:
             vs_baseline = res["cfr_iters_per_s"] / base
+        # Transparency: also report the strictest cross-config ratio —
+        # this kernel (net fused, evaluated every iteration) against the
+        # reference's *zero-net* 60-thread bound, i.e. our full workload
+        # vs their free-leaf upper bound.
+        zn = ref.get("zero_net_cfr_iters_per_s_60threads")
+        if zn and not args.no_net:
+            vs_zero_net_ref = round(res["cfr_iters_per_s"] / zn, 2)
 
     print(
         json.dumps(
@@ -265,6 +273,7 @@ def main():
                     + ("zero net" if args.no_net else "TorchScript net")
                 ),
                 "detail": {
+                    "vs_zero_net_ref_bound": vs_zero_net_ref,
                     "subgames_per_s": round(res["subgames_per_s"], 1),
                     "examples_per_s": round(res["examples_per_s"], 1),
                     "batch": args.batch,
