@@ -82,6 +82,18 @@ class ClusterConfig:
     topology: str = ""
     num_hosts: int = 0
     runtime_version: str = "tpu-ubuntu2204-base"  # gcloud only
+    # Shared storage for the experiment dir — REQUIRED for the
+    # restart-with-resume semantics to hold on GKE: without it each pod
+    # checkpoints to its own ephemeral filesystem and a JobSet restart
+    # starts from scratch (and ranks could resume divergent states).
+    # Exactly one of gcs_bucket (mounted via the GCS FUSE CSI driver)
+    # or pvc (a ReadWriteMany PersistentVolumeClaim) should be set;
+    # both mount at workdir, which is also the pods' working directory
+    # — submit with out_root under workdir so every pod sees the same
+    # exp dir.
+    gcs_bucket: str = ""
+    pvc: str = ""
+    workdir: str = "/workspace"
 
 
 def slice_shape(cfg: ClusterConfig) -> tuple[int, int, str]:
@@ -124,13 +136,21 @@ def child_command(exp_dir: str, cfg_path: str, overrides: list[str]) -> list[str
 
 def job_name(exp_dir: pathlib.Path) -> str:
     """RFC-1123 job name derived from the experiment dir (the
-    heyhi exp_id role)."""
+    heyhi exp_id role). A short hash of the full path disambiguates
+    experiments whose dir *names* coincide (e.g. every no-override
+    experiment is named 'default') so one submission can never clobber
+    another's JobSet."""
+    import hashlib
+
     raw = exp_dir.name.lower()
     safe = "".join(ch if ch.isalnum() or ch == "-" else "-" for ch in raw)
     safe = safe.strip("-") or "rebel"
+    digest = hashlib.sha1(
+        str(pathlib.Path(exp_dir).resolve()).encode()
+    ).hexdigest()[:6]
     # Leave headroom for JobSet's generated child names
     # (<jobset>-<replicatedJob>-<idx>-<pod-suffix> must also fit 63).
-    return ("rebel-" + safe)[:40].rstrip("-")
+    return ("rebel-" + safe)[:33].rstrip("-") + "-" + digest
 
 
 def render_jobset(
@@ -141,6 +161,35 @@ def render_jobset(
     import yaml
 
     hosts, chips_per_host, topo = slice_shape(cluster)
+    # Shared exp-dir storage: restart-with-resume only works if every
+    # pod (and every restart) sees the same checkpoint files.
+    volumes = []
+    mounts = []
+    annotations = {}
+    if cluster.gcs_bucket and cluster.pvc:
+        raise ValueError("set cluster.gcs_bucket OR cluster.pvc, not both")
+    if cluster.gcs_bucket:
+        annotations["gke-gcsfuse/volumes"] = "true"
+        volumes.append({
+            "name": "shared",
+            "csi": {
+                "driver": "gcsfuse.csi.storage.gke.io",
+                "volumeAttributes": {"bucketName": cluster.gcs_bucket},
+            },
+        })
+    elif cluster.pvc:
+        volumes.append({
+            "name": "shared",
+            "persistentVolumeClaim": {"claimName": cluster.pvc},
+        })
+    else:
+        log.warning(
+            "no cluster.gcs_bucket/cluster.pvc set: pods get only "
+            "ephemeral storage, so JobSet restarts will NOT resume from "
+            "checkpoints"
+        )
+    if volumes:
+        mounts.append({"name": "shared", "mountPath": cluster.workdir})
     manifest = {
         "apiVersion": "jobset.x-k8s.io/v1alpha2",
         "kind": "JobSet",
@@ -163,6 +212,7 @@ def render_jobset(
                                 cluster.hours * 3600
                             ),
                             "template": {
+                                "metadata": {"annotations": annotations},
                                 "spec": {
                                     "restartPolicy": "Never",
                                     "nodeSelector": {
@@ -171,11 +221,14 @@ def render_jobset(
                                         "cloud.google.com/gke-tpu-topology":
                                             topo,
                                     },
+                                    "volumes": volumes,
                                     "containers": [
                                         {
                                             "name": "rebel-tpu",
                                             "image": cluster.image,
+                                            "workingDir": cluster.workdir,
                                             "command": list(command),
+                                            "volumeMounts": mounts,
                                             "resources": {
                                                 "limits": {
                                                     "google.com/tpu":
@@ -266,6 +319,10 @@ def submit(
         "backend": cluster.backend,
         "name": name,
         "namespace": cluster.namespace,
+        # status/cancel need the same scoping flags submit used.
+        "cluster": cluster.cluster,
+        "project": cluster.project,
+        "zone": cluster.zone,
         "submitted": False,
     }
 
@@ -296,9 +353,19 @@ def submit(
         record["commands"] = cmds
         cli = shutil.which("gcloud")
         if cli:
+            # Queued-resources provisioning is async: only the
+            # reservation can be issued here; the run command (gcloud.sh
+            # line 2) must be executed once status() reports RUNNING
+            # (i.e. the queued resource went ACTIVE).
             proc = _run(cmds[0])
             record["submitted"] = proc.returncode == 0
             record["output"] = proc.stdout + proc.stderr
+            record["note"] = (
+                "reservation only: run the second command in "
+                "cluster/gcloud.sh once the queued resource is ACTIVE"
+            )
+            if record["submitted"]:
+                log.info("%s", record["note"])
     else:
         raise ValueError(f"unknown cluster backend {cluster.backend!r}")
 
@@ -342,8 +409,14 @@ def status(exp_dir: pathlib.Path) -> str:
         cli = shutil.which("xpk")
         if not cli:
             return "UNKNOWN"
-        proc = _run(["xpk", "workload", "list", "--filter-by-job",
-                     rec["name"]])
+        cmd = [cli, "workload", "list", "--filter-by-job", rec["name"]]
+        if rec.get("cluster"):
+            cmd += ["--cluster", rec["cluster"]]
+        if rec.get("project"):
+            cmd += ["--project", rec["project"]]
+        if rec.get("zone"):
+            cmd += ["--zone", rec["zone"]]
+        proc = _run(cmd)
         if proc.returncode != 0:
             return "UNKNOWN"
         for line in proc.stdout.splitlines():
@@ -356,10 +429,13 @@ def status(exp_dir: pathlib.Path) -> str:
         cli = shutil.which("gcloud")
         if not cli:
             return "UNKNOWN"
-        proc = _run([
-            cli, "compute", "tpus", "queued-resources", "describe",
-            rec["name"], "--format", "json",
-        ])
+        cmd = [cli, "compute", "tpus", "queued-resources", "describe",
+               rec["name"], "--format", "json"]
+        if rec.get("project"):
+            cmd += ["--project", rec["project"]]
+        if rec.get("zone"):
+            cmd += ["--zone", rec["zone"]]
+        proc = _run(cmd)
         if proc.returncode != 0:
             return "UNKNOWN"
         st = json.loads(proc.stdout).get("state", {}).get("state", "")
@@ -386,15 +462,24 @@ def cancel(exp_dir: pathlib.Path) -> bool:
     elif rec["backend"] == "xpk":
         cli = shutil.which("xpk")
         if cli:
-            return _run(["xpk", "workload", "delete", "--workload",
-                         rec["name"]]).returncode == 0
+            cmd = [cli, "workload", "delete", "--workload", rec["name"]]
+            if rec.get("cluster"):
+                cmd += ["--cluster", rec["cluster"]]
+            if rec.get("project"):
+                cmd += ["--project", rec["project"]]
+            if rec.get("zone"):
+                cmd += ["--zone", rec["zone"]]
+            return _run(cmd).returncode == 0
     elif rec["backend"] == "gcloud":
         cli = shutil.which("gcloud")
         if cli:
-            return _run([
-                cli, "compute", "tpus", "queued-resources", "delete",
-                rec["name"], "--force", "--quiet",
-            ]).returncode == 0
+            cmd = [cli, "compute", "tpus", "queued-resources", "delete",
+                   rec["name"], "--force", "--quiet"]
+            if rec.get("project"):
+                cmd += ["--project", rec["project"]]
+            if rec.get("zone"):
+                cmd += ["--zone", rec["zone"]]
+            return _run(cmd).returncode == 0
     log.info("cluster backend CLI not available; nothing cancelled")
     return False
 

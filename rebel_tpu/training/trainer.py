@@ -691,6 +691,32 @@ class Trainer:
                     mesh, meshlib.rows_to_ring(base, rows_q, rows_v, n_data)
                 )
             )
+        # Generation-speed benchmark (selfplay.py:285-293), SPMD analog:
+        # the whole mesh generates for ~N seconds, the master logs the
+        # global BENCHMARK line, no training happens.
+        if cfg.benchmark_data_gen:
+            added0 = int(local(total_added(state.replay)))
+            t0 = time.time()
+            while time.time() - t0 < cfg.benchmark_data_gen:
+                eps, rep, keys = gen_step(
+                    state.params, state.episodes, state.replay, state.keys
+                )
+                state = state._replace(episodes=eps, replay=rep, keys=keys)
+            size = int(local(total_added(state.replay))) - added0
+            elapsed = time.time() - t0
+            metrics = {
+                "benchmark/examples": size,
+                "benchmark/examples_per_s": size / elapsed,
+                "benchmark/seconds": elapsed,
+                "spmd/devices": int(mesh.devices.size),
+            }
+            if is_master:
+                log.info("BENCHMARK size %s speed %.2f", size,
+                         size / elapsed)
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(metrics) + "\n")
+            return state, [metrics]
+
         # Burn-in (selfplay.py:314-327).
         while int(local(total_added(state.replay))) < (
             4 * cfg.train_batch_size
@@ -772,42 +798,51 @@ class Trainer:
 
                 t0 = time.time()
                 step_stats = []
-                for _ in range(self.steps_per_epoch):
-                    params, opt_state, keys, stats = train_step(
-                        state.params, state.opt_state, state.replay, state.keys
-                    )
-                    state = state._replace(
-                        params=params, opt_state=opt_state, keys=keys
-                    )
-                    step_stats.append(stats)
+                if not cfg.fake_training:
+                    # (fake_training skips the train steps so generation
+                    # speed is readable alone, selfplay.py:474-481.)
+                    for _ in range(self.steps_per_epoch):
+                        params, opt_state, keys, stats = train_step(
+                            state.params, state.opt_state, state.replay,
+                            state.keys,
+                        )
+                        state = state._replace(
+                            params=params, opt_state=opt_state, keys=keys
+                        )
+                        step_stats.append(stats)
                 train_s = time.time() - t0
                 host = [
                     {k: np.asarray(local(v)) for k, v in s.items()}
                     for s in step_stats
                 ]
-                loss = float(np.mean([s["loss"] for s in host]))
-                g_norms = np.asarray([s["g_norm"] for s in host])
-
                 metrics = {
                     "epoch": epoch,
-                    "loss/train": loss,
-                    "optim/lr": float(lr_schedule(cfg, 1)(jnp.asarray(epoch))),
-                    "optim/grad_max": float(g_norms.max()),
-                    "optim/grad_mean": float(g_norms.mean()),
                     "buffer/added": int(local(total_added(state.replay))),
                     "timing/gen": gen_s,
                     "timing/train": train_s,
                     "spmd/devices": int(mesh.devices.size),
                     "spmd/processes": jax.process_count(),
                 }
-                metrics.update(
-                    bucket_metrics(
-                        self.game,
-                        sum(s["counts"] for s in host),
-                        sum(s["loss_sums"] for s in host),
-                        sum(s["val_sums"] for s in host),
+                if host:
+                    g_norms = np.asarray([s["g_norm"] for s in host])
+                    metrics.update({
+                        "loss/train": float(
+                            np.mean([s["loss"] for s in host])
+                        ),
+                        "optim/lr": float(
+                            lr_schedule(cfg, 1)(jnp.asarray(epoch))
+                        ),
+                        "optim/grad_max": float(g_norms.max()),
+                        "optim/grad_mean": float(g_norms.mean()),
+                    })
+                    metrics.update(
+                        bucket_metrics(
+                            self.game,
+                            sum(s["counts"] for s in host),
+                            sum(s["loss_sums"] for s in host),
+                            sum(s["val_sums"] for s in host),
+                        )
                     )
-                )
                 # Buffer purge at configured epochs (selfplay.py:513-521):
                 # each device ring keeps its share of the global target.
                 if cfg.purging_epochs and (epoch + 1) in cfg.purging_epochs:
@@ -852,7 +887,7 @@ class Trainer:
                     log.info(
                         "[SPMD] epoch %d loss %.6f exploit %s (%d devices, "
                         "%d procs)",
-                        epoch, loss,
+                        epoch, metrics.get("loss/train", float("nan")),
                         metrics.get(
                             "exploitability_avg",
                             metrics.get("exploitability_last", "-"),

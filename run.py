@@ -142,6 +142,13 @@ def main(argv=None):
         record = clusterlib.submit(exp_dir, cl_cfg, args.cfg,
                                    args.overrides)
         log.info("Cluster submission: %s", json.dumps(record, indent=1))
+        # The exp dir is derived from the override list, so status/kill
+        # must pin it explicitly rather than re-deriving it from a
+        # (possibly different) override set.
+        log.info("status: python run.py --cfg %s --mode cluster_status "
+                 "--exp_dir %s", args.cfg, exp_dir)
+        log.info("cancel: python run.py --cfg %s --mode kill "
+                 "--exp_dir %s", args.cfg, exp_dir)
         return 0
 
     if args.mode == "cluster_status":
@@ -152,13 +159,19 @@ def main(argv=None):
 
     if args.mode == "kill":
         # A cluster-submitted experiment is cancelled at the cluster
-        # (the scancel analog), not by local PID.
+        # (the scancel analog), not by local PID — but only if the
+        # submission actually went through; a dry-run cluster.json must
+        # not shadow a local launch in the same exp dir.
         if (exp_dir / "cluster.json").exists():
             from rebel_tpu.parallel import cluster as clusterlib
 
-            ok = clusterlib.cancel(exp_dir)
-            log.info("cluster cancel: %s", "ok" if ok else "unavailable")
-            return 0 if ok else 1
+            if json.loads(
+                (exp_dir / "cluster.json").read_text()
+            ).get("submitted"):
+                ok = clusterlib.cancel(exp_dir)
+                log.info("cluster cancel: %s",
+                         "ok" if ok else "unavailable")
+                return 0 if ok else 1
         if args.adhoc and not args.exp_dir:
             # --adhoc salts the dir name with the launch time, so a
             # fresh kill invocation can never re-derive the running

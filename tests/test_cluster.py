@@ -151,3 +151,66 @@ def test_config_from_dict_rejects_unknown():
         cl.config_from_dict({"backend": "gke", "partition": "learnfair"})
     cfg = cl.config_from_dict({"backend": "xpk", "tpu_type": "v4-16"})
     assert cfg.tpu_type == "v4-16"
+
+
+def test_jobset_shared_volume_and_name_hash(tmp_path):
+    # gcs_bucket => GCS FUSE CSI volume mounted at workdir, pods run there.
+    cfg = cl.ClusterConfig(tpu_type="v5litepod-4", gcs_bucket="ckpts",
+                           workdir="/data")
+    manifest = yaml.safe_load(
+        cl.render_jobset("n", cfg, ["python", "run.py"])
+    )
+    pod = manifest["spec"]["replicatedJobs"][0]["template"]["spec"][
+        "template"]
+    assert pod["metadata"]["annotations"]["gke-gcsfuse/volumes"] == "true"
+    (vol,) = pod["spec"]["volumes"]
+    assert vol["csi"]["volumeAttributes"]["bucketName"] == "ckpts"
+    (container,) = pod["spec"]["containers"]
+    assert container["workingDir"] == "/data"
+    assert container["volumeMounts"][0]["mountPath"] == "/data"
+    # pvc variant
+    cfg = cl.ClusterConfig(tpu_type="v5litepod-4", pvc="claim1")
+    manifest = yaml.safe_load(
+        cl.render_jobset("n", cfg, ["python", "run.py"])
+    )
+    (vol,) = manifest["spec"]["replicatedJobs"][0]["template"]["spec"][
+        "template"]["spec"]["volumes"]
+    assert vol["persistentVolumeClaim"]["claimName"] == "claim1"
+    with pytest.raises(ValueError, match="not both"):
+        cl.render_jobset(
+            "n",
+            cl.ClusterConfig(gcs_bucket="b", pvc="p"),
+            ["python"],
+        )
+    # Same dir NAME under different parents must not collide (the
+    # no-override exp dir is always named 'default').
+    a = cl.job_name(tmp_path / "exp_a" / "default")
+    b = cl.job_name(tmp_path / "exp_b" / "default")
+    assert a != b and a.startswith("rebel-default-")
+
+
+def test_record_scopes_status_and_cancel(tmp_path, monkeypatch):
+    # gcloud status/cancel must reuse the project/zone submit used.
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    log = bindir / "gcloud.log"
+    script = bindir / "gcloud"
+    script.write_text(
+        "#!/bin/sh\n"
+        f'echo "$@" >> {log}\n'
+        'case "$2" in esac\n'
+        'echo \'{"state": {"state": "ACTIVE"}}\'\n'
+        "exit 0\n"
+    )
+    script.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    exp = tmp_path / "exp"
+    cfg = cl.ClusterConfig(backend="gcloud", project="proj-1",
+                           zone="us-east5-b")
+    record = cl.submit(exp, cfg, "conf/liars_sp.yaml", [])
+    assert record["submitted"] and "reservation only" in record["note"]
+    assert cl.status(exp) == "RUNNING"
+    assert cl.cancel(exp) is True
+    logged = log.read_text()
+    for line in logged.splitlines():
+        assert "--project proj-1" in line and "--zone us-east5-b" in line

@@ -487,3 +487,37 @@ def test_fake_training_mode(tmp_path):
         jax.tree.leaves(state.params), jax.tree.leaves(fresh.init_state().params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spmd_benchmark_modes(tmp_path):
+    # benchmark_data_gen and fake_training must also hold on the SPMD
+    # path (a cluster-submitted pod hits run_spmd, not run).
+    cfg = small_cfg(
+        selfplay_batch=8, train_batch_size=8, train_epoch_size=16,
+        replay_capacity=256, benchmark_data_gen=0.5,
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path / "bench")
+    state, metrics = trainer.run_spmd(resume=False)
+    assert len(metrics) == 1 and metrics[0]["benchmark/examples"] > 0
+    assert (tmp_path / "bench" / "metrics.jsonl").exists()
+
+    cfg = small_cfg(
+        selfplay_batch=8, train_batch_size=8, train_epoch_size=16,
+        replay_capacity=256, fake_training=True, max_epochs=2,
+    )
+    trainer = Trainer(cfg, out_dir=tmp_path / "fake")
+    state, metrics = trainer.run_spmd(resume=False, max_epochs=2)
+    assert len(metrics) == 2
+    assert "loss/train" not in metrics[-1]
+    assert metrics[-1]["buffer/added"] > 0
+    fresh = Trainer(cfg, out_dir=tmp_path / "fake2")
+    from rebel_tpu.parallel.mesh import make_mesh, make_spmd_programs
+
+    init_state, _, _ = make_spmd_programs(fresh, make_mesh())
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, state.params)),
+        jax.tree.leaves(
+            jax.tree.map(np.asarray, init_state(cfg.seed).params)
+        ),
+    ):
+        np.testing.assert_array_equal(a, b)
