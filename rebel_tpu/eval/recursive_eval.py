@@ -358,6 +358,7 @@ def run_eval(
     partial_path: str | pathlib.Path | None = None,
     regret_summary_report: bool = True,
     resume: bool = False,
+    max_chunk: int | None = None,
 ) -> dict:
     """Full recursive_eval flow; returns the XXX/YYY-equivalent dict.
 
@@ -453,6 +454,7 @@ def run_eval(
             ),
             acc_sig=acc_sig,
             resume=resume,
+            max_chunk=max_chunk,
         )
         last = reports[-1]
         results[f"repeated toleaf {num_repeats}"] = last["exploitability"]

@@ -63,6 +63,12 @@ def main():
         help="skip the CFR immediate-regret summary (the reference's "
         "--print_regret_summary default; saves the iterate download "
         "on big games)")
+    ap.add_argument(
+        "--max-chunk", type=int, default=None,
+        help="repeats per device batch in the sampled eval (default: "
+        "auto, bounded by a ~256 MB strategy block — conservative on a "
+        "16 GB chip; raise for big games where the auto chunk drops to "
+        "32 and underfills the device)")
     ap.add_argument("--out", default="eval_all_results.json")
     args = ap.parse_args()
     if args.platform:
@@ -141,6 +147,7 @@ def main():
                 partial_path=f"{args.out}.{gstr}-{solver}.partial",
                 regret_summary_report=not args.no_regrets,
                 resume=args.resume,
+                max_chunk=args.max_chunk,
             )
             rows.append(
                 {

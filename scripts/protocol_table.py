@@ -9,7 +9,7 @@ written by our ``scripts/eval_all.py --out``; this script merges them into
 one table plus the power-of-2 repeat convergence rows, and writes
 ``results/PROTOCOL.md``.
 
-Usage: python scripts/protocol_table.py [--glob 'results/eval_*_1024rep.json']
+Usage: python scripts/protocol_table.py [--glob 'results/eval_*.json']
 """
 import argparse
 import glob
@@ -19,7 +19,7 @@ import os
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--glob", default="results/eval_*rep.json")
+    ap.add_argument("--glob", default="results/eval_*.json")
     ap.add_argument("--out", default="results/PROTOCOL.md")
     args = ap.parse_args()
 
@@ -27,16 +27,21 @@ def main() -> None:
     for path in sorted(glob.glob(args.glob)):
         for rec in json.load(open(path)):
             rec["_file"] = os.path.basename(path)
+            rec["_mtime"] = os.path.getmtime(path)
             reps = rec.get("sampled_reports") or []
             rec["_max_reps"] = reps[-1]["repeats"] if reps else 0
             if 0 < rec["_max_reps"] < 1024:
                 rec["solver"] += f" ({rec['_max_reps']} reps)"
             rows.append(rec)
-    # One row per (game, base solver): keep the deepest-repeat complete run.
+    # One row per (game, base solver): keep the deepest-repeat complete
+    # run; at equal repeats the newest eval wins (a retrained net's
+    # protocol rerun supersedes the old cell).
     best = {}
     for rec in rows:
         key = (rec["game"], rec["solver"].split(" ")[0])
-        if key not in best or rec["_max_reps"] > best[key]["_max_reps"]:
+        if key not in best or (rec["_max_reps"], rec["_mtime"]) > (
+            best[key]["_max_reps"], best[key]["_mtime"]
+        ):
             best[key] = rec
     rows = list(best.values())
     # Leftover streaming snapshots from timeout-killed evals
