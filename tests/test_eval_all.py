@@ -195,3 +195,39 @@ def test_sampled_eval_resume_matches_uninterrupted(tmp_path):
         acc_path=tmp_path / "acc2.npz", acc_sig="other", resume=True,
     )
     np.testing.assert_array_equal(np.asarray(full), np.asarray(res2))
+
+
+def test_run_eval_max_chunk_invariance(tmp_path):
+    """run_eval's --max-chunk knob (device lane batch of the sampled
+    eval) must not change any result: the per-seed strategies are
+    deterministic in the seed index regardless of how seeds are blocked
+    onto the device (recursive_eval.py strat_reach_chunks)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from rebel_tpu.eval.recursive_eval import run_eval
+    from rebel_tpu.games.liars_dice import LiarsDice
+    from rebel_tpu.nets.value_nets import zero_value_fn
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    game = LiarsDice(1, 2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=2, linear_update=True, use_cfr=True
+    )
+    vf = zero_value_fn(game)
+    outs = [
+        run_eval(
+            game, params, vf, subgame_iters=8, num_repeats=4,
+            mdp_depth=2, dtype=jnp.float32, max_chunk=mc,
+            regret_summary_report=False,
+        )
+        for mc in (None, 1, 4)
+    ]
+    ref = outs[0]["exploitability"]["repeated toleaf 4"]
+    for o in outs[1:]:
+        assert o["exploitability"]["repeated toleaf 4"] == ref
+        assert o["exploitability"]["full_tree"] == (
+            outs[0]["exploitability"]["full_tree"]
+        )
