@@ -297,6 +297,7 @@ def sampled_eval(
     # host adds) so every power-of-2 repeat count gets a report
     # regardless of the device chunking above.
     for strats, reaches in strat_reach_chunks():
+        chunk_saved = False
         for i in range(strats.shape[0]):
             contrib = strats[i] * reaches[i][:, :, None]
             rsum = reaches[i][:, :, None]
@@ -325,6 +326,7 @@ def sampled_eval(
                 )
             reports.append(report)
             save_acc()
+            chunk_saved = i == strats.shape[0] - 1
             if on_report is not None:
                 on_report(reports)
             if progress:
@@ -334,6 +336,13 @@ def sampled_eval(
                     "%.6g" % report["ev_full"]
                     if full_strategy is not None else "-",
                 )
+        # Snapshot after every device chunk, not just at power-of-2
+        # report boundaries: between the 512 and 1024 reports a 1x6
+        # eval computes for ~an hour, and a kill there should lose at
+        # most one chunk (seeds are deterministic in the repeat index,
+        # so resume from any `done` is exact).
+        if not chunk_saved:
+            save_acc()
     final = summed_strategy / (summed_reach + 1e-6)
     return final, reports
 

@@ -231,3 +231,49 @@ def test_run_eval_max_chunk_invariance(tmp_path):
         assert o["exploitability"]["full_tree"] == (
             outs[0]["exploitability"]["full_tree"]
         )
+
+
+def test_sampled_eval_resumes_from_mid_chunk_snapshot(tmp_path):
+    """The accumulator now snapshots after every device chunk, not just
+    at power-of-2 report boundaries — a run killed between the 4- and
+    8-repeat reports resumes from the last chunk, not the last report."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rebel_tpu.eval.recursive_eval import sampled_eval
+    from rebel_tpu.games.liars_dice import LiarsDice
+    from rebel_tpu.nets.value_nets import zero_value_fn
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    game = LiarsDice(1, 2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=2, linear_update=True, use_cfr=True
+    )
+    vf = zero_value_fn(game)
+    acc = tmp_path / "acc.npz"
+
+    full, full_reports = sampled_eval(
+        game, params, vf, 8, None, 2, jnp.float32, progress=False
+    )
+    # 6 repeats in chunks of 3: the last snapshot lands at done=6,
+    # which is not a power of 2.
+    sampled_eval(
+        game, params, vf, 6, None, 2, jnp.float32, progress=False,
+        acc_path=acc, acc_sig="t", max_chunk=3,
+    )
+    z = np.load(acc, allow_pickle=False)
+    assert int(z["done"]) == 6
+    res, res_reports = sampled_eval(
+        game, params, vf, 8, None, 2, jnp.float32, progress=False,
+        acc_path=acc, acc_sig="t", resume=True, max_chunk=3,
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(res))
+    # The truncated run also emitted its own end-of-run report at
+    # repeats=6 (a real kill mid-run emits nothing extra); the
+    # power-of-2 reports must match the uninterrupted run exactly.
+    by_reps = {r["repeats"]: r["exploitability"] for r in res_reports}
+    for r in full_reports:
+        assert by_reps[r["repeats"]] == r["exploitability"]
