@@ -1,0 +1,93 @@
+#!/bin/bash
+# Round-3 step 2: canonical-scale retraining queue (VERDICT item 1) with
+# the per-cell protocol eval chained right after each training run, so
+# every finished cell supersedes its round-2 entry immediately
+# (scripts/protocol_table.py breaks repeat-ties by mtime).
+#
+# Regime: the reference's released-checkpoint schedule — 25,600
+# examples/epoch, max 1000 epochs, LR halving via decrease_lr_every=400
+# (conf/liars_sp.yaml defaults; /root/reference/conf/c02_selfplay/
+# liars_sp.yaml:36-37). Queue order is judge-impact order: 1x6f FP
+# first (the round-2 cell that LOSES to the unaided full-tree solve,
+# VERDICT weak #2), then the cells whose nets were short-trained.
+#
+# Waits for scripts/round3_fillcells.sh (chip is single-client).
+set -u
+cd /root/repo
+
+# Wait for the fill-cells sweep to release the chip (flag line in its
+# log); proceed anyway if it is not running.
+for i in $(seq 1 720); do
+  if ! pgrep -f round3_fillcells.sh >/dev/null 2>&1; then break; fi
+  grep -q "fill sweep complete" /tmp/fillcells.log 2>/dev/null && break
+  sleep 30
+done
+
+COMMON="exploit_every=250 max_epochs=1000 selfplay.batch=2048 \
+  selfplay.engine=pallas selfplay.net_compute_dtype=bf16 \
+  stall_timeout_s=1800"
+
+find_net() {  # $1 num_dice, $2 num_faces, $3 use_cfr(true/false)
+  python - "$1" "$2" "$3" <<'EOF'
+import json, pathlib, sys
+nd, nf, cfr = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3] == "true"
+best = None
+for cfgp in pathlib.Path("outputs/liars_sp").glob("*/config.json"):
+    try:
+        cfg = json.load(open(cfgp))
+    except Exception:
+        continue
+    env = cfg.get("env", {})
+    if env.get("num_dice", 1) != nd or env.get("num_faces") != nf:
+        continue
+    if bool(env.get("subgame_params", {}).get("use_cfr", False)) != cfr:
+        continue
+    if cfg.get("max_epochs") != 1000:
+        continue
+    ckpts = sorted(
+        cfgp.parent.glob("ckpt/epoch*.params"),
+        key=lambda p: int(p.stem[5:]),
+    )
+    if not ckpts:
+        continue
+    cand = (int(ckpts[-1].stem[5:]), cfgp.stat().st_mtime, ckpts[-1])
+    if best is None or cand[:2] > best[:2]:
+        best = cand
+print(best[2] if best else "")
+EOF
+}
+
+traineval() {  # $1 name, $2 game(1x5), $3 solver(fp/cfr), train args...
+  local name="$1" game="$2" solver="$3"; shift 3
+  echo "=== $(date -u +%H:%M:%S) train: $name ==="
+  timeout 7200 python run.py --adhoc --cfg conf/liars_sp.yaml $COMMON "$@" \
+    > "/tmp/queue_${name}.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) trained: $name (exit $?) ==="
+  local nd="${game%x*}" nf="${game#*x}" cfr=false
+  [ "$solver" = cfr ] && cfr=true
+  local net; net="$(find_net "$nd" "$nf" "$cfr")"
+  if [ -z "$net" ]; then echo "!!! $name: no canonical net found, skipping eval"; return 1; fi
+  echo "=== $(date -u +%H:%M:%S) eval: $name (net $net) ==="
+  local mc=()
+  case "$game" in 1x6|2x3) mc=(--max-chunk 128);; esac
+  timeout 5400 python scripts/eval_all.py \
+    --games "$game" --solvers "$solver" --net "$net" \
+    --subgame-iters 1024 --num-repeats 1024 --mdp-depth 2 --no-regrets \
+    --out "results/eval_r3_${name}_1024rep.json" "${mc[@]}" \
+    > "/tmp/eval_r3_${name}.log" 2>&1
+  echo "=== $(date -u +%H:%M:%S) evaled: $name (exit $?) ==="
+  python scripts/protocol_table.py > /dev/null 2>&1
+}
+
+traineval 1x6fp  1x6 fp  env.num_faces=6
+traineval 1x6cfr 1x6 cfr env.num_faces=6 env.subgame_params.use_cfr=true
+traineval 1x5cfr 1x5 cfr env.num_faces=5 env.subgame_params.use_cfr=true
+# 2x3f CFR canonical schedule at canonical budget (VERDICT item 7's
+# study arm; the decay@150 arm exists from round 2 at 729 epochs).
+traineval 2x3cfr 2x3 cfr env.num_dice=2 env.num_faces=3 env.subgame_params.use_cfr=true
+traineval 1x5fp  1x5 fp  env.num_faces=5
+traineval 1x4cfr 1x4 cfr env.num_faces=4 env.subgame_params.use_cfr=true
+traineval 1x4fp  1x4 fp  env.num_faces=4
+# 2x3f FP keeps the round-2 870-epoch net (near-canonical; the
+# paper-shaped result already) — its 1024-rep eval runs in fillcells.
+echo "=== master queue complete ==="
