@@ -103,6 +103,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from rebel_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     setup_logging()
     log = logging.getLogger("run")
 

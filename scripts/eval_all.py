@@ -78,6 +78,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from rebel_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from rebel_tpu.eval.recursive_eval import run_eval
     from rebel_tpu.games.liars_dice import LiarsDice
     from rebel_tpu.solving.params import SubgameSolvingParams
