@@ -37,6 +37,52 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REF_BASELINE_PATH = pathlib.Path(__file__).parent / "tools/golden/REF_BASELINE.json"
 
+# Peak dense-matmul throughput per chip for MFU, keyed by substrings of
+# jax's device_kind (bf16 FLOP/s; public TPU spec-sheet numbers).
+PEAK_BF16_FLOPS = {
+    "v6": 918e12,
+    "v5p": 459e12,
+    "v5": 197e12,      # v5e / "v5 lite" (matched after v5p)
+    "v4": 275e12,
+}
+
+
+def device_peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower().replace(" ", "")
+    for key, peak in PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return peak
+    return None
+
+
+def mlp_model_flops_per_subgame_iter(num_dice: int, num_faces: int,
+                                     n_hidden: int = 256,
+                                     n_layers: int = 2) -> int:
+    """Model FLOPs of the fused CFV-MLP leaf evaluation per subgame per
+    solver iteration (the MXU-dominant work; the VPU solver update is
+    O(hands*actions) and negligible at these sizes).
+
+    One iteration evaluates the net on every non-terminal depth-2
+    pseudo-leaf: the (a1, a2) bid pairs with a1 < a2 and neither the
+    liar call (grid2p.Grid2PallasSolver.__post_init__), i.e.
+    C(num_actions-1, 2) queries.  Per query the MLP is
+    in -> n_layers x n_hidden -> num_hands with in = 2 + num_actions +
+    2*num_hands (subgame_solving.cc:100-123).  Counted without MXU tile
+    padding (standard model-FLOPs MFU convention); the 19-wide input
+    layer pads to 128 lanes on hardware, so the MXU-busy fraction is
+    higher than the reported MFU."""
+    num_actions = 1 + 2 * num_dice * num_faces
+    num_hands = num_faces ** num_dice
+    n_bids = num_actions - 1
+    pseudo_leaves = n_bids * (n_bids - 1) // 2
+    d_in = 2 + num_actions + 2 * num_hands
+    per_query = 2 * (
+        d_in * n_hidden
+        + (n_layers - 1) * n_hidden * n_hidden
+        + n_hidden * num_hands
+    )
+    return pseudo_leaves * per_query
+
 
 def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
             layout: str = "batch_last", no_net: bool = False,
@@ -153,6 +199,10 @@ def main():
     ap.add_argument("--fp", action="store_true",
                     help="measure the FP (fictitious play) solver "
                     "instead of CFR")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the FP and no-net side measurements "
+                    "(the default full run records all three modes in "
+                    "one JSON line)")
     ap.add_argument("--gelu", default="auto",
                     choices=("auto", "exact", "fast"),
                     help="GELU policy for the pallas fast path")
@@ -233,6 +283,29 @@ def main():
     if args.profile:
         jax.profiler.stop_trace()
 
+    # Side measurements for the record: FP-mode and solver-only
+    # throughput next to the CFR headline (the reference's
+    # gen_benchmark measures only its production config,
+    # gen_benchmark.cc:147-153).  Skipped when the caller already
+    # narrowed the run to one mode.
+    side = {}
+    if not (args.headline_only or args.fp or args.no_net or args.smoke):
+        side_steps = max(1, args.steps // 2)
+        try:
+            r_fp = measure(args.batch, args.num_iters, side_steps,
+                           layout=args.layout,
+                           **{**kw, "use_cfr": False})
+            side["fp_iters_per_s"] = round(r_fp["cfr_iters_per_s"], 1)
+        except Exception as e:
+            side["fp_iters_per_s"] = f"failed: {type(e).__name__}"
+        try:
+            r_nn = measure(args.batch, args.num_iters, side_steps,
+                           layout=args.layout, **{**kw, "no_net": True})
+            side["no_net_cfr_iters_per_s"] = round(
+                r_nn["cfr_iters_per_s"], 1)
+        except Exception as e:
+            side["no_net_cfr_iters_per_s"] = f"failed: {type(e).__name__}"
+
     vs_baseline = None
     # The recorded reference baseline is CFR-only; an FP/CFR ratio
     # would be meaningless. Configuration-matched comparison
@@ -258,6 +331,22 @@ def main():
         zn = ref.get("zero_net_cfr_iters_per_s_60threads")
         if zn and not args.no_net:
             vs_zero_net_ref = round(res["cfr_iters_per_s"] / zn, 2)
+            nn = side.get("no_net_cfr_iters_per_s")
+            if isinstance(nn, (int, float)):
+                side["no_net_vs_zero_net_ref"] = round(nn / zn, 2)
+
+    # Roofline: achieved model FLOP/s of the fused MLP (the MXU work)
+    # and MFU against the chip's bf16 peak.
+    dev = jax.devices()[0]
+    if not args.no_net:
+        flops_it = mlp_model_flops_per_subgame_iter(1, 4)
+        achieved = res["cfr_iters_per_s"] * flops_it
+        side["mlp_model_flops_per_s"] = round(achieved / 1e12, 2)
+        side["mlp_model_flops_unit"] = "TFLOP/s (bf16, unpadded)"
+        peak = device_peak_flops(dev)
+        if peak:
+            side["mfu"] = round(achieved / peak, 4)
+            side["peak_bf16_tflops_assumed"] = peak / 1e12
 
     print(
         json.dumps(
@@ -280,6 +369,8 @@ def main():
                     "num_iters": args.num_iters,
                     "wall_s": round(res["wall_s"], 2),
                     "device": str(jax.devices()[0]),
+                    "device_kind": getattr(dev, "device_kind", None),
+                    **side,
                 },
             }
         )

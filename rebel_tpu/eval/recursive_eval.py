@@ -368,6 +368,7 @@ def run_eval(
     regret_summary_report: bool = True,
     resume: bool = False,
     max_chunk: int | None = None,
+    net_name: str | None = None,
 ) -> dict:
     """Full recursive_eval flow; returns the XXX/YYY-equivalent dict.
 
@@ -429,6 +430,13 @@ def run_eval(
     results_ev = {}
     reports = []
     partial = {
+        # Provenance: which net produced this snapshot, so a protocol
+        # table built from a partial can still cite its checkpoint
+        # (the reference caches results keyed beside the ckpt,
+        # /root/reference/scripts/eval_all.py:48-58).
+        "game": f"{game.num_dice}x{game.num_faces}",
+        "solver": "cfr" if params.use_cfr else "fp",
+        "net": net_name,
         "exploitability": dict(results),
         "ev": {},
         "full_trajectory": trajectory,
@@ -558,4 +566,5 @@ def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:
         / f"eval.{game.num_dice}x{game.num_faces}-{solver_tag}.partial",
         resume=bool(ev.get("resume", False)),
         regret_summary_report=bool(ev.get("regret_summary", True)),
+        net_name=net_path if isinstance(net_path, str) else None,
     )

@@ -22,6 +22,8 @@ DEFAULT_DIR = "/tmp/jax_cache"
 def enable(cache_dir: str = DEFAULT_DIR) -> None:
     import jax
 
+    if jax.config.jax_compilation_cache_dir is not None:
+        return  # respect a cache dir someone already configured
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

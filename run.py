@@ -103,9 +103,6 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    from rebel_tpu.utils.compile_cache import enable as enable_compile_cache
-
-    enable_compile_cache()
     setup_logging()
     log = logging.getLogger("run")
 
@@ -124,6 +121,14 @@ def main(argv=None):
     )
     log.info("Config: %s", json.dumps(cfg))
     log.info("Experiment dir: %s", exp_dir)
+    if args.mode not in ("kill", "submit", "cluster_status"):
+        # Management modes never touch the device backend, so only
+        # real runs get the persistent compile cache (and its /tmp
+        # side effect).
+        from rebel_tpu.utils.compile_cache import enable as \
+            enable_compile_cache
+
+        enable_compile_cache()
     if args.dist is None and args.mode not in (
         "kill", "submit", "cluster_status"
     ):

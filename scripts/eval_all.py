@@ -152,6 +152,7 @@ def main():
                 regret_summary_report=not args.no_regrets,
                 resume=args.resume,
                 max_chunk=args.max_chunk,
+                net_name=net_name,
             )
             rows.append(
                 {

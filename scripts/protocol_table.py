@@ -72,7 +72,7 @@ def main() -> None:
                 "game": gstr,
                 "solver": solver + f" (partial, {reps[-1]['repeats']} reps)"
                 if reps else solver + " (partial, phase 1 only)",
-                "net": None,
+                "net": rec.get("net"),
                 "full_tree": rec.get("exploitability", {}).get("full_tree"),
                 "rebel": reps[-1]["exploitability"] if reps else None,
                 "sampled_reports": reps,
