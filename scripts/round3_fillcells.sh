@@ -31,3 +31,7 @@ cell 2x3f_cfr 2x3 cfr "$R/decrease_lr_every=150-env.num_dice=2-env.num_faces=3-e
 cell 2x3f_fp  2x3 fp  "$R/env.num_dice=2-env.num_faces=3-exploit_every=100-max_epochs=1000-selfplay.batch=-60727016/ckpt/epoch860.params" --max-chunk 128
 python scripts/protocol_table.py
 echo "=== fill sweep complete ==="
+# Completion sentinel for anything sequencing after this sweep (the
+# chip is single-client): waiters watch this file, not the log text —
+# the log only exists if the invoker happened to redirect stdout.
+touch /tmp/fillcells.done

@@ -15,11 +15,13 @@
 set -u
 cd /root/repo
 
-# Wait for the fill-cells sweep to release the chip (flag line in its
-# log); proceed anyway if it is not running.
-for i in $(seq 1 720); do
-  if ! pgrep -f round3_fillcells.sh >/dev/null 2>&1; then break; fi
-  grep -q "fill sweep complete" /tmp/fillcells.log 2>/dev/null && break
+# Wait for the fill-cells sweep to release the chip: watch the sweep's
+# completion sentinel or its liveness, with no iteration cap — starting
+# training while the eval still holds the single-client chip is worse
+# than waiting.  (Round-4 queues avoid this entirely by running every
+# step sequentially in one script, scripts/round4_master.sh.)
+while pgrep -f round3_fillcells.sh >/dev/null 2>&1 \
+    && [ ! -f /tmp/fillcells.done ]; do
   sleep 30
 done
 
@@ -50,10 +52,14 @@ for cfgp in pathlib.Path("outputs/liars_sp").glob("*/config.json"):
     )
     if not ckpts:
         continue
-    cand = (int(ckpts[-1].stem[5:]), cfgp.stat().st_mtime, ckpts[-1])
+    # mtime first: a cut-short fresh run must win over a stale deeper
+    # run, or the eval silently scores the wrong net under a new name.
+    cand = (cfgp.stat().st_mtime, int(ckpts[-1].stem[5:]), ckpts[-1])
     if best is None or cand[:2] > best[:2]:
         best = cand
-print(best[2] if best else "")
+if best:
+    print(f"chose {best[2].parent.parent}", file=sys.stderr)
+    print(best[2])
 EOF
 }
 

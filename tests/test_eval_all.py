@@ -88,9 +88,14 @@ def test_run_eval_streams_partial_snapshots(tmp_path):
         num_repeats=4,
         dtype=jnp.float32,
         partial_path=partial,
+        net_name="ckpt/epoch10.params",
     )
     snap = json.loads(partial.read_text())
     assert snap["partial"] is True
+    # Provenance: a table built from the snapshot alone can cite the
+    # game/solver cell and the checkpoint that produced it.
+    assert (snap["game"], snap["solver"]) == ("1x2", "cfr")
+    assert snap["net"] == "ckpt/epoch10.params"
     # The last snapshot holds all power-of-2 reports and matches the
     # returned result.
     assert [r["repeats"] for r in snap["sampled_reports"]] == [1, 2, 4]
