@@ -141,6 +141,15 @@ def main() -> None:
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out} ({len(rows)} rows)")
+    # Re-apply the f64 cross-check footnote (scripts/f64_footnote.py)
+    # if matched f32/f64 cells exist — regeneration must not lose it.
+    if args.out == "results/PROTOCOL.md" and os.path.isdir("results/f64"):
+        try:
+            import f64_footnote
+
+            f64_footnote.main()
+        except Exception as e:  # footnote is best-effort decoration
+            print(f"(f64 footnote skipped: {type(e).__name__}: {e})")
     start = lines.index("| game | solver | full_tree | rebel | net |")
     for line in lines[start : start + 2 + len(rows)]:
         print(line)
