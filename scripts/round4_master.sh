@@ -34,6 +34,26 @@ COMMON="exploit_every=100 eval_mse=true max_epochs=1000 \
   selfplay.batch=2048 selfplay.engine=pallas \
   selfplay.net_compute_dtype=bf16 stall_timeout_s=1800"
 
+# The tunneled chip can drop a client's in-flight RPC after a hiccup
+# (observed 10:24 and 10:55 UTC today: the client then sleeps forever
+# at 0% CPU while fresh connections work fine).  Probe with a fresh
+# client before every step, and give evals retry loops — the streamed
+# accumulator makes a killed eval resumable at ~3 min cost.
+waitchip() {
+  local i
+  for i in $(seq 1 90); do
+    if timeout 150 python -c "
+import jax, jax.numpy as jnp, numpy as np
+y=(jnp.ones((128,128))@jnp.ones((128,128))).sum()
+assert float(np.asarray(y)) == 128*128*128
+" >/dev/null 2>&1; then return 0; fi
+    note "chip probe $i failed; waiting"
+    sleep 60
+  done
+  note "chip unreachable after 90 probes"
+  return 1
+}
+
 # Newest (by exp-dir mtime — a cut-short fresh run must not lose to a
 # stale deeper run, round-3 advisor finding) run matching the cell, its
 # last epoch*.params. Logs the chosen exp dir so mislabeled evals are
@@ -72,6 +92,7 @@ EOF
 
 train() {  # $1 name, $2 timeout, train overrides...
   local name="$1" to="$2"; shift 2
+  waitchip || return 1
   note "train $name: $*"
   timeout "$to" python run.py --adhoc --cfg conf/liars_sp.yaml \
     $COMMON "$@" > "/tmp/r4_train_${name}.log" 2>&1
@@ -83,27 +104,39 @@ evalcell() {  # $1 cellname, $2 game, $3 solver, $4 net, $5 timeout, extra...
   if [ -z "$net" ] || [ ! -f "$net" ]; then
     note "SKIP eval $name: net '$net' missing"; return 1
   fi
-  note "eval $name (net $net)"
-  timeout "$to" python scripts/eval_all.py \
-    --games "$game" --solvers "$solver" --net "$net" \
-    --subgame-iters 1024 --num-repeats 1024 --mdp-depth 2 --no-regrets \
-    --out "results/eval_${name}_1024rep.json" "$@" \
-    > "/tmp/r4_eval_${name}.log" 2>&1
-  note "evaled $name (exit $?)"
+  local out="results/eval_${name}_1024rep.json" attempt rc
+  for attempt in 1 2 3 4; do
+    waitchip || return 1
+    note "eval $name attempt $attempt (net $net)"
+    timeout "$to" python scripts/eval_all.py \
+      --games "$game" --solvers "$solver" --net "$net" \
+      --subgame-iters 1024 --num-repeats 1024 --mdp-depth 2 --no-regrets \
+      --out "$out" --resume "$@" \
+      >> "/tmp/r4_eval_${name}.log" 2>&1
+    rc=$?
+    note "evaled $name attempt $attempt (exit $rc)"
+    # Success = the completed output file exists (eval_all writes it
+    # only after the full 1024 repeats).
+    if [ -f "$out" ]; then break; fi
+  done
   python scripts/protocol_table.py >> "$LOG" 2>&1
 }
 
 R=results/liars_sp
 
-# E1 — finish the 1x6 cfr cell (768 repeats remain on the accumulator).
+# Per-attempt timeouts are modest on purpose: the streamed accumulator
+# makes a killed attempt resumable, so a wedged client costs at most
+# one timeout, not the cell.
+
+# E1 — finish the 1x6 cfr cell (repeats resume from the accumulator).
 evalcell 1x6f_cfr 1x6 cfr \
   "$R/adhoc-c9e481c3-decrease_lr_every=150-env.num_faces=6-env.subgame_params.use/ckpt/epoch490.params" \
-  7200 --max-chunk 128 --resume
+  3600 --max-chunk 128
 
 # T1 + E3 — canonical 1x6 fp.
 train 1x6fp 7200 env.num_faces=6
 NET16FP="$(find_net 1 6 false)"
-evalcell 1x6f_fp 1x6 fp "$NET16FP" 5400 --max-chunk 128
+evalcell 1x6f_fp 1x6 fp "$NET16FP" 3600 --max-chunk 128
 
 # T2 + E4 prep — canonical 2x3 cfr.
 train 2x3cfr 7200 env.num_dice=2 env.num_faces=3 \
@@ -112,16 +145,16 @@ train 2x3cfr 7200 env.num_dice=2 env.num_faces=3 \
 # E2 — 2x3 fp cell with the existing near-canonical epoch860 net.
 evalcell 2x3f_fp 2x3 fp \
   "$R/env.num_dice=2-env.num_faces=3-exploit_every=100-max_epochs=1000-selfplay.batch=-60727016/ckpt/epoch860.params" \
-  7200 --max-chunk 128
+  3600 --max-chunk 128
 
 # E4 — 2x3 cfr cell with the canonical net.
 NET23CFR="$(find_net 2 3 true)"
-evalcell 2x3f_cfr 2x3 cfr "$NET23CFR" 7200 --max-chunk 128
+evalcell 2x3f_cfr 2x3 cfr "$NET23CFR" 3600 --max-chunk 128
 
 # T3 + E5 — canonical 1x4 cfr (densest stability curve, exploit_every=50).
 train 1x4cfr 5400 env.subgame_params.use_cfr=true exploit_every=50
 NET14CFR="$(find_net 1 4 true)"
-evalcell 1x4f_cfr 1x4 cfr "$NET14CFR" 3600
+evalcell 1x4f_cfr 1x4 cfr "$NET14CFR" 2400
 
 note "round4 master queue complete"
 touch /tmp/round4.done
