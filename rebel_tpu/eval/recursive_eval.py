@@ -190,15 +190,18 @@ def sampled_eval(
     on_report: Callable[[list], None] | None = None,
     acc_path: str | pathlib.Path | None = None,
     acc_sig: str = "",
+    acc_sig_alt: tuple = (),
     resume: bool = False,
 ):
     """Phase 2: reach-weighted average of sampled recursive strategies.
 
     ``acc_path`` (if given) receives an atomic .npz snapshot of the
     reach-weighted accumulator after every power-of-2 report; with
-    ``resume=True`` a matching snapshot (same ``acc_sig``) is loaded and
-    the seed loop continues from where it stopped — per-seed results are
-    deterministic in the seed index, so the resumed run is exact.
+    ``resume=True`` a matching snapshot (same ``acc_sig``, or one of the
+    ``acc_sig_alt`` grandfathered signatures — see :func:`run_eval`) is
+    loaded and the seed loop continues from where it stopped — per-seed
+    results are deterministic in the seed index, so the resumed run is
+    exact.  Snapshots are always re-saved under ``acc_sig``.
 
     ``batched`` (default: auto, on when ``mdp_depth == 2``) runs repeats
     as device lane batches via
@@ -227,7 +230,10 @@ def sampled_eval(
     if resume and acc_path is not None and acc_path.exists():
         try:
             z = np.load(acc_path, allow_pickle=False)
-            if str(z["sig"]) == acc_sig and int(z["done"]) <= num_repeats:
+            if (
+                str(z["sig"]) in (acc_sig, *acc_sig_alt)
+                and int(z["done"]) <= num_repeats
+            ):
                 summed_strategy = z["strategy"]
                 summed_reach = z["reach"]
                 done = int(z["done"])
@@ -444,6 +450,16 @@ def run_eval(
         "immediate_regrets": regret_summary,
         "partial": True,
     }
+    # Capture the previous run's stamped net BEFORE overwriting the
+    # partial: it validates grandfathered pre-net-sig accumulators below.
+    prior_net = None
+    if resume and partial_path is not None:
+        try:
+            prior_net = json.loads(
+                pathlib.Path(partial_path).read_text()
+            ).get("net")
+        except Exception:
+            pass
     write_partial(partial)
     if num_repeats > 0:
         if value_fn is None:
@@ -456,11 +472,22 @@ def run_eval(
             ]["exploitability"]
             write_partial(partial)
 
-        acc_sig = (
+        # The accumulator's strategies belong to ONE net: resuming under
+        # any other net would silently blend two checkpoints' policies
+        # into one cell.  The signature therefore carries the net
+        # identity.  Pre-net-sig snapshots (written before this field
+        # existed) are grandfathered only when the partial JSON next to
+        # them stamps the same net — provenance added in the same round
+        # (see the ``net`` key above).
+        legacy_sig = (
             f"{game.num_dice}x{game.num_faces}-"
             f"{'cfr' if params.use_cfr else 'fp'}-{subgame_iters}-"
             f"{num_repeats}"
         )
+        acc_sig = f"{legacy_sig}-net={net_name or 'anon'}"
+        sig_alt = (legacy_sig,) if (
+            resume and net_name and prior_net == net_name
+        ) else ()
         final, reports = sampled_eval(
             game, params, value_fn, num_repeats, full_strategy,
             mdp_depth, dtype,
@@ -470,6 +497,7 @@ def run_eval(
                 if partial_path is not None else None
             ),
             acc_sig=acc_sig,
+            acc_sig_alt=sig_alt,
             resume=resume,
             max_chunk=max_chunk,
         )

@@ -202,6 +202,72 @@ def test_sampled_eval_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(res2))
 
 
+def test_resume_is_net_aware(tmp_path, caplog):
+    """An accumulator belongs to ONE checkpoint's strategies: resuming
+    under a different net must start fresh (blending two nets' policies
+    into one protocol cell would silently corrupt it), while legacy
+    snapshots written before the signature carried the net identity are
+    grandfathered only when the partial JSON stamps the same net."""
+    import logging
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rebel_tpu.eval.recursive_eval import run_eval
+    from rebel_tpu.games.liars_dice import LiarsDice
+    from rebel_tpu.nets.value_nets import zero_value_fn
+    from rebel_tpu.solving.params import SubgameSolvingParams
+
+    game = LiarsDice(1, 2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=2, linear_update=True, use_cfr=True
+    )
+    vf = zero_value_fn(game)
+    partial = tmp_path / "snap.json"
+    acc = tmp_path / "snap.json.acc.npz"
+    kw = dict(subgame_iters=8, mdp_depth=2, dtype=jnp.float32,
+              partial_path=partial, regret_summary_report=False)
+
+    run_eval(game, params, vf, num_repeats=8, net_name="netA", **kw)
+    assert acc.exists()
+
+    def set_sig(sig):
+        z = np.load(acc, allow_pickle=False)
+        d = {k: z[k] for k in z.files}
+        d["sig"] = sig
+        with open(acc, "wb") as f:
+            np.savez(f, **d)
+
+    def messages():
+        return [r.getMessage() for r in caplog.records]
+
+    # Same net, net-aware sig: resumes.
+    with caplog.at_level(logging.INFO):
+        run_eval(game, params, vf, num_repeats=8, net_name="netA",
+                 resume=True, **kw)
+    assert any("resuming sampled eval at 8" in m for m in messages())
+
+    # Legacy (pre-net) sig + matching stamped net: grandfathered.
+    set_sig("1x2-cfr-8-8")
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        run_eval(game, params, vf, num_repeats=8, net_name="netA",
+                 resume=True, **kw)
+    assert any("resuming sampled eval at 8" in m for m in messages())
+
+    # Legacy sig under a DIFFERENT net: refused, starts fresh.
+    set_sig("1x2-cfr-8-8")
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        run_eval(game, params, vf, num_repeats=8, net_name="netB",
+                 resume=True, **kw)
+    assert not any("resuming sampled eval" in m for m in messages())
+    assert any("does not match" in m for m in messages())
+
+
 def test_run_eval_max_chunk_invariance(tmp_path):
     """run_eval's --max-chunk knob (device lane batch of the sampled
     eval) must not change any result: the per-seed strategies are
