@@ -356,8 +356,27 @@ def sampled_eval(
 def ensure_dtype_support(dtype) -> None:
     """float64 solving requires jax x64 mode; without it arrays silently
     truncate to f32 while the 1e-80 smoothing constants underflow to
-    zero, producing NaNs in safe normalization."""
-    if jnp.dtype(dtype).itemsize == 8 and not jax.config.jax_enable_x64:
+    zero, producing NaNs in safe normalization.
+
+    It also requires a backend with real f64 arithmetic: TPUs compute
+    f64 as truncated f32 even under x64, which reproduces the same NaN
+    signature *plus* silently-wrong full-tree values — refuse loudly
+    instead (observed live: an ``--f64`` eval accidentally routed to the
+    TPU produced full_tree 0.0477 vs the true 0.0003 and NaN sampled
+    reports)."""
+    if jnp.dtype(dtype).itemsize != 8:
+        return
+    backend = jax.default_backend()
+    if backend not in ("cpu",):
+        raise RuntimeError(
+            f"float64 solving requested on backend {backend!r}, which "
+            "has no f64 arithmetic (values silently truncate to f32 "
+            "and the solver's 1e-80 smoothing constants underflow to "
+            "NaN). Run float64 evals on CPU — e.g. scripts/eval_all.py "
+            "--f64 --platform cpu; note JAX_PLATFORMS=cpu as an env "
+            "var does not override this environment's sitecustomize."
+        )
+    if not jax.config.jax_enable_x64:
         log.info("enabling jax x64 for float64 solving")
         jax.config.update("jax_enable_x64", True)
 

@@ -268,6 +268,23 @@ def test_resume_is_net_aware(tmp_path, caplog):
     assert any("does not match" in m for m in messages())
 
 
+def test_f64_refused_off_cpu(monkeypatch):
+    """float64 solving on a backend without real f64 arithmetic (TPU)
+    silently truncates to f32 and NaNs out — ensure_dtype_support must
+    refuse loudly instead of producing wrong numbers."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from rebel_tpu.eval.recursive_eval import ensure_dtype_support
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    with pytest.raises(RuntimeError, match="no f64 arithmetic"):
+        ensure_dtype_support(jnp.float64)
+    # f32 never touches the backend check.
+    ensure_dtype_support(jnp.float32)
+
+
 def test_run_eval_max_chunk_invariance(tmp_path):
     """run_eval's --max-chunk knob (device lane batch of the sampled
     eval) must not change any result: the per-seed strategies are
