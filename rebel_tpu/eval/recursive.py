@@ -321,22 +321,67 @@ def compute_strategy_recursive_to_leaf(
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class Grid2FrontierSolver:
-    """Depth-2 frontier solver on the gather-free action-grid engine
-    (:class:`rebel_tpu.solving.grid2.Grid2Solver`), vmapped over lanes.
+    """Depth-2 frontier solver, vmapped over lanes.
 
     Used by the batched sampled-strategy evaluation: each lane is one
     (repeat, subgame-root) pair; the per-lane stop iteration ``t`` is
     realized by snapshotting the sampling strategy at ``t`` inside the
-    full iteration scan (identical results to stopping at ``t``)."""
+    full iteration scan (identical results to stopping at ``t``).
+
+    ``engine`` picks the lane solver:
+
+    - ``"fast"`` (default): the gather-free action-grid engine
+      (:class:`rebel_tpu.solving.grid2.Grid2Solver`), any dtype, any
+      ``value_fn``.
+    - ``"pallas"``: the fused TPU kernel
+      (:class:`rebel_tpu.solving.grid2p.Grid2PallasSolver`) — the same
+      engine the production self-play generator runs, ~3x the grid
+      engine's iteration throughput on a v5e chip (bench.py).  f32
+      only, and the value net must be the standard ``CFVNet`` shape
+      passed as raw ``net_params`` (the kernel computes the MLP
+      in-loop); ``net_params=None`` elides the net (zero leaf values,
+      matching ``zero_value_fn``).  Snapshot-at-``t`` semantics are
+      kernel-exact vs the other engines (tests/test_grid2_pallas.py).
+    """
 
     game: LiarsDice
     params: SubgameSolvingParams
     dtype: jnp.dtype = jnp.float64
     value_fn: ValueFn | None = None
     chunk: int = 1024
+    engine: str = "fast"
+    net_params: object | None = None
+    lane_block: int = 256
+    net_compute_dtype: jnp.dtype = jnp.float32
+    interpret: bool = False
 
     def __post_init__(self):
         assert self.params.max_depth == 2
+        if self.engine == "pallas":
+            if jnp.dtype(self.dtype) != jnp.dtype(jnp.float32):
+                raise ValueError(
+                    "engine='pallas' solves in float32; got dtype="
+                    f"{jnp.dtype(self.dtype).name} (use engine='fast' "
+                    "for f64 parity runs)"
+                )
+            from rebel_tpu.solving.grid2p import Grid2PallasSolver
+
+            psolver = Grid2PallasSolver(
+                game=self.game,
+                params=self.params,
+                lane_block=self.lane_block,
+                net_compute_dtype=self.net_compute_dtype,
+                # Off-TPU the Mosaic kernel cannot lower; fall back to
+                # the (slow, exact) interpreter so --engine pallas
+                # still *works* everywhere it is asked for.
+                interpret=self.interpret
+                or jax.default_backend() not in ("tpu", "axon"),
+            )
+            object.__setattr__(self, "_psolver", psolver)
+            object.__setattr__(self, "_solve", None)
+            return
+        if self.engine != "fast":
+            raise ValueError(f"unknown frontier engine {self.engine!r}")
         from rebel_tpu.solving.grid2 import Grid2Solver
 
         solver = Grid2Solver(
@@ -375,6 +420,8 @@ class Grid2FrontierSolver:
     def solve(self, bids, players, beliefs, stops):
         """bids/players/stops [B], beliefs [B, 2, H] ->
         (snap0 [B, H, A], snap1 [B, A, H, A]) as numpy."""
+        if self.engine == "pallas":
+            return self._solve_pallas_chunks(bids, players, beliefs, stops)
         B = int(np.shape(bids)[0])
         outs0, outs1 = [], []
         for lo in range(0, B, self.chunk):
@@ -398,6 +445,35 @@ class Grid2FrontierSolver:
             )
             outs0.append(np.asarray(s0)[: hi - lo])
             outs1.append(np.asarray(s1)[: hi - lo])
+        return np.concatenate(outs0, 0), np.concatenate(outs1, 0)
+
+    def _solve_pallas_chunks(self, bids, players, beliefs, stops):
+        """Fused-kernel lane batches.  The kernel requires the batch to
+        be a lane_block multiple; partial chunks pad to
+        max(lane_block, next power of two) — the same bounded-shape-set
+        rationale as the fast path (at chunk=1024, lane_block=256 that
+        is three compiled shapes total)."""
+        B = int(np.shape(bids)[0])
+        LB = self.lane_block
+        outs0, outs1 = [], []
+        for lo in range(0, B, self.chunk):
+            hi = min(lo + self.chunk, B)
+            size = max(LB, 1 << (hi - lo - 1).bit_length())
+            pad = size - (hi - lo)
+            rows = lambda x, d: np.concatenate(
+                [np.asarray(x[lo:hi], d)]
+                + ([np.asarray(x[lo : lo + 1], d)] * pad if pad else []),
+                0,
+            )
+            out = self._psolver.solve(
+                rows(bids, np.int32),
+                rows(players, np.int32),
+                rows(beliefs, np.float32),
+                rows(stops, np.int32),
+                self.net_params,
+            )
+            outs0.append(np.asarray(out.snap0)[: hi - lo])
+            outs1.append(np.asarray(out.snap1)[: hi - lo])
         return np.concatenate(outs0, 0), np.concatenate(outs1, 0)
 
 

@@ -192,6 +192,8 @@ def sampled_eval(
     acc_sig: str = "",
     acc_sig_alt: tuple = (),
     resume: bool = False,
+    engine: str = "fast",
+    net_params=None,
 ):
     """Phase 2: reach-weighted average of sampled recursive strategies.
 
@@ -211,11 +213,21 @@ def sampled_eval(
 
     ``on_report`` (if given) is called with the reports-so-far list after
     every power-of-2 report — hook for streaming partial results to disk
-    so a killed run keeps everything it computed."""
+    so a killed run keeps everything it computed.
+
+    ``engine="pallas"`` (batched path only) solves the per-lane subgames
+    with the fused TPU kernel instead of the XLA grid engine — pass the
+    checkpoint's raw ``net_params``; see
+    :class:`rebel_tpu.eval.recursive.Grid2FrontierSolver`."""
     ctx = full_tree_context(game, dtype)
     sub_params = params.replace(max_depth=mdp_depth)
     if batched is None:
         batched = mdp_depth == 2
+    if engine != "fast" and not batched:
+        raise ValueError(
+            f"engine={engine!r} is only available on the batched "
+            "(mdp_depth == 2) sampled-eval path"
+        )
     if max_chunk is None:
         # Bound the [Rc, N, H, A] per-chunk strategy block to ~256 MB.
         per = ctx.tree.num_nodes * game.num_hands * game.num_actions * 8
@@ -272,7 +284,8 @@ def sampled_eval(
             # expensive thing; rebuilding it per block would re-trace
             # and re-compile every shape each time.
             fsolver = Grid2FrontierSolver(
-                game, sub_params, dtype, value_fn
+                game, sub_params, dtype, value_fn,
+                engine=engine, net_params=net_params,
             )
             # Uniform full-size seed blocks: the power-of-2 report
             # boundaries are taken by per-seed accumulation below, so
@@ -394,6 +407,8 @@ def run_eval(
     resume: bool = False,
     max_chunk: int | None = None,
     net_name: str | None = None,
+    engine: str = "fast",
+    net_params=None,
 ) -> dict:
     """Full recursive_eval flow; returns the XXX/YYY-equivalent dict.
 
@@ -504,6 +519,10 @@ def run_eval(
             f"{num_repeats}"
         )
         acc_sig = f"{legacy_sig}-net={net_name or 'anon'}"
+        if engine != "fast":
+            # Engines agree only to f32 rounding, so a cell never mixes
+            # them across a resume; default-engine sigs stay unchanged.
+            acc_sig += f"-engine={engine}"
         sig_alt = (legacy_sig,) if (
             resume and net_name and prior_net == net_name
         ) else ()
@@ -519,6 +538,8 @@ def run_eval(
             acc_sig_alt=sig_alt,
             resume=resume,
             max_chunk=max_chunk,
+            engine=engine,
+            net_params=net_params,
         )
         last = reports[-1]
         results[f"repeated toleaf {num_repeats}"] = last["exploitability"]
@@ -536,12 +557,14 @@ def run_eval(
     }
 
 
-def _load_net_value_fn(net_path: str, game, cfg: dict):
-    """Build a value fn from either this framework's pickled params
-    exports or the reference's release formats (torch.save state dicts,
-    scripts/eval_all.py:38-44; TorchScript exports, real_net.cc:57-87).
-    Routed by content: plain pickles load directly; anything else goes
-    through the torch importer."""
+def _load_net(net_path: str, game, cfg: dict):
+    """Load a checkpoint as ``(value_fn, net_params)`` from either this
+    framework's pickled params exports or the reference's release
+    formats (torch.save state dicts, scripts/eval_all.py:38-44;
+    TorchScript exports, real_net.cc:57-87).  Routed by content: plain
+    pickles load directly; anything else goes through the torch
+    importer.  ``net_params`` is the raw flax param dict — what the
+    fused-kernel eval engine consumes."""
     try:
         from rebel_tpu.training.trainer import load_params
 
@@ -556,7 +579,7 @@ def _load_net_value_fn(net_path: str, game, cfg: dict):
         from rebel_tpu.nets.torch_import import load_net2_checkpoint
 
         spec, tparams = load_net2_checkpoint(net_path, game)
-        return spec.value_fn(tparams)
+        return spec.value_fn(tparams), tparams
     from rebel_tpu.nets.cfv_net import CFVNetSpec
 
     model = cfg.get("model", {}).get("kwargs", {})
@@ -566,7 +589,11 @@ def _load_net_value_fn(net_path: str, game, cfg: dict):
         n_layers=model.get("n_layers", 2),
         use_layer_norm=model.get("use_layer_norm", True),
     )
-    return spec.value_fn(params)
+    return spec.value_fn(params), params
+
+
+def _load_net_value_fn(net_path: str, game, cfg: dict):
+    return _load_net(net_path, game, cfg)[0]
 
 
 def run_eval_from_config(cfg: dict, exp_dir: pathlib.Path) -> dict:

@@ -178,7 +178,14 @@ def eval_net(
     players = (t.depth[ids] % 2).astype(np.int32)
     vmapped = _br_value_solver(game, fp_iters, jnp.dtype(dtype).name)
     br_values = []
-    chunk = 128
+    # Supertree lanes are full-tree-sized regardless of root, so the
+    # lane count must scale with the game: 128 lanes of 1x6f's
+    # [8191, 6, 13] solver state is multi-GB of live scan buffers and
+    # crashed the TPU worker outright (r4_1x6fp epoch-0 evals).  Cap
+    # the primary per-chunk array block at ~128 MB.
+    per_lane = t.num_nodes * game.num_hands * game.num_actions * 4
+    chunk = int(max(8, min(128, 2 ** np.floor(np.log2(
+        max(1, (128 << 20) // (4 * per_lane)))))))
     for lo in range(0, ids.size, chunk):
         hi = min(lo + chunk, ids.size)
         pad = chunk - (hi - lo)

@@ -1010,30 +1010,45 @@ class Trainer:
                 progress=False,
             )
             out["exploitability_avg"] = reports[-1]["exploitability"]
-        if self.cfg.eval_mse:
+        if self.cfg.eval_mse and not getattr(
+            self, "_eval_mse_broken", False
+        ):
             # Net-quality MSE diagnostics (compute_stats_with_net,
             # pybind.cc:57-84 -> stats.cc:44-153; logged as eval_mse/*
-            # in selfplay.py:568-570).
-            from rebel_tpu.eval.recursive_eval import full_solve
-            from rebel_tpu.eval.stats import eval_net
+            # in selfplay.py:568-570).  A diagnostic must never take the
+            # training run down with it: on failure, log loudly and
+            # disable it for the rest of the run.  (If the failure
+            # killed the device runtime itself, the next train step
+            # surfaces that on its own.)
+            try:
+                from rebel_tpu.eval.recursive_eval import full_solve
+                from rebel_tpu.eval.stats import eval_net
 
-            sp = self.cfg.env.subgame_params
-            full_strategy, _, _ = full_solve(
-                self.game, sp, self.cfg.solver_dtype, progress=False
-            )
-            for name, by_net in (("net_reach", True), ("fp_reach", False)):
-                out[f"eval_mse/{name}"] = float(
-                    eval_net(
-                        self.game,
-                        np.asarray(strategy),
-                        np.asarray(full_strategy),
-                        mdp_depth=sp.max_depth,
-                        fp_iters=sp.num_iters,
-                        value_fn=value_fn,
-                        traverse_by_net=by_net,
-                        dtype=self.cfg.solver_dtype,
-                    )
+                sp = self.cfg.env.subgame_params
+                full_strategy, _, _ = full_solve(
+                    self.game, sp, self.cfg.solver_dtype, progress=False
                 )
+                for name, by_net in (
+                    ("net_reach", True), ("fp_reach", False)
+                ):
+                    out[f"eval_mse/{name}"] = float(
+                        eval_net(
+                            self.game,
+                            np.asarray(strategy),
+                            np.asarray(full_strategy),
+                            mdp_depth=sp.max_depth,
+                            fp_iters=sp.num_iters,
+                            value_fn=value_fn,
+                            traverse_by_net=by_net,
+                            dtype=self.cfg.solver_dtype,
+                        )
+                    )
+            except Exception:
+                log.exception(
+                    "eval_mse diagnostics failed; disabling for the "
+                    "rest of this run"
+                )
+                self._eval_mse_broken = True
         return out
 
     # ------------------------------------------------------ checkpoints

@@ -69,6 +69,12 @@ def main():
         "auto, bounded by a ~256 MB strategy block — conservative on a "
         "16 GB chip; raise for big games where the auto chunk drops to "
         "32 and underfills the device)")
+    ap.add_argument(
+        "--engine", default="fast", choices=("fast", "pallas"),
+        help="phase-2 lane solver: 'fast' = XLA grid engine (any dtype/"
+        "net); 'pallas' = the fused TPU kernel the self-play generator "
+        "runs (~3x iteration throughput; f32 only, checkpoint nets "
+        "only — the kernel computes the MLP in-loop)")
     ap.add_argument("--out", default="eval_all_results.json")
     args = ap.parse_args()
     if args.platform:
@@ -103,7 +109,13 @@ def main():
                 use_cfr=solver == "cfr",
             )
             value_fn = None
+            net_params = None
             net_name = args.net or "none"
+            if args.engine == "pallas" and args.net == "oracle":
+                raise SystemExit(
+                    "--engine pallas computes leaf values in-kernel and "
+                    "cannot wrap the oracle value fn; use --engine fast"
+                )
             if args.net == "oracle":
                 from rebel_tpu.nets.value_nets import make_oracle_value_fn
 
@@ -117,9 +129,9 @@ def main():
             elif args.net:
                 # Handles pickled .params exports and the reference's
                 # torch state-dict / TorchScript release formats alike.
-                from rebel_tpu.eval.recursive_eval import _load_net_value_fn
+                from rebel_tpu.eval.recursive_eval import _load_net
 
-                value_fn = _load_net_value_fn(args.net, game, {})
+                value_fn, net_params = _load_net(args.net, game, {})
             elif args.ckpt_root:
                 ckpts = sorted(
                     pathlib.Path(args.ckpt_root).rglob("epoch*.params"),
@@ -133,7 +145,8 @@ def main():
 
                 net_name = str(ckpts[-1])
                 spec = CFVNetSpec(game=game)
-                value_fn = spec.value_fn(load_params(ckpts[-1]))
+                net_params = load_params(ckpts[-1])
+                value_fn = spec.value_fn(net_params)
 
             # Stream phase-1/phase-2 progress to a per-row partial file
             # (game/solver in the name so protocol_table can attribute
@@ -153,6 +166,8 @@ def main():
                 resume=args.resume,
                 max_chunk=args.max_chunk,
                 net_name=net_name,
+                engine=args.engine,
+                net_params=net_params,
             )
             rows.append(
                 {

@@ -33,10 +33,26 @@ LOG=/tmp/round4.log
 echo "$$" > /tmp/round4_master.pid
 note() { echo "=== $(date -u +%H:%M:%S) $*" | tee -a "$LOG"; }
 
-COMMON="exploit_every=100 eval_mse=true max_epochs=1000 \
+# eval_mse is NOT in COMMON: each eval_net call runs fresh full-depth
+# solves at every depth-{2,4} node, and on the big games (1x6/2x3 —
+# full-size supertree lanes) the epoch-0 eval crashed the TPU worker
+# twice before stats.py capped the lane memory.  Even capped it costs
+# real wall-clock there, so only the cheap 1x4 study run (T3) pays for
+# the curves the round asks for.
+COMMON="exploit_every=100 max_epochs=1000 \
   selfplay.batch=2048 selfplay.engine=pallas \
   selfplay.net_compute_dtype=bf16 stall_timeout_s=1800"
 MIN_EVAL_EPOCH=200
+# Stop launching new steps near round end so the chip is free for the
+# driver's bench run (steps in flight still finish their attempt).
+DEADLINE_TS=$(date -u -d "23:15" +%s)
+past_deadline() {
+  if [ "$(date -u +%s)" -gt "$DEADLINE_TS" ]; then
+    note "deadline reached; not launching further steps"
+    return 0
+  fi
+  return 1
+}
 
 # The tunneled chip can drop a client's in-flight RPC after a hiccup
 # (observed 10:24 and 10:55 UTC today: the client then sleeps forever
@@ -73,6 +89,7 @@ train() {  # $1 name, $2 per-attempt timeout, $3 attempts, overrides...
   local name="$1" to="$2" tries="$3"; shift 3
   local exp="outputs/liars_sp/r4_${name}" attempt mode rc
   for attempt in $(seq 1 "$tries"); do
+    past_deadline && return 1
     waitchip || return 1
     mode=gentle_start
     [ -d "$exp/ckpt" ] && mode=start_continue
@@ -103,6 +120,7 @@ evalcell() {  # $1 cellname, $2 game, $3 solver, $4 net, $5 timeout, extra...
     return 1
   fi
   for attempt in 1 2 3; do
+    past_deadline && return 1
     waitchip || return 1
     note "eval $name attempt $attempt (net $net)"
     timeout "$to" python scripts/eval_all.py \
@@ -126,29 +144,32 @@ evalcell 1x6f_cfr 1x6 cfr \
   "$R/adhoc-c9e481c3-decrease_lr_every=150-env.num_faces=6-env.subgame_params.use/ckpt/epoch490.params" \
   3600 --max-chunk 128
 
-# T1 + E3 — canonical 1x6 fp.  New out name: the old 0.1088 cell stays
+# T1 + E3 — canonical 1x6 fp (T1 resumes from the epoch-100 ckpt the
+# crashed eval_mse attempts left; ~6.6 s/epoch -> one 7200s window
+# covers the remaining 900).  New out name: the old 0.1088 cell stays
 # on disk; protocol_table keeps the newest equal-repeat eval per cell,
 # so the retrained net's rerun supersedes it by mtime.
-train 1x6fp 5400 2 env.num_faces=6
+train 1x6fp 7200 2 env.num_faces=6
 evalcell 1x6f_fp_r4 1x6 fp "$(netfor outputs/liars_sp/r4_1x6fp)" \
   3600 --max-chunk 128
 
-# T2 — canonical 2x3 cfr.
-train 2x3cfr 5400 2 env.num_dice=2 env.num_faces=3 \
-  env.subgame_params.use_cfr=true
-
-# E2 — 2x3 fp cell with the existing near-canonical epoch860 net.
+# E2 — 2x3 fp cell with the existing near-canonical epoch860 net
+# (independent of T2, so it cannot be blocked by a training failure).
 evalcell 2x3f_fp 2x3 fp \
   "$R/env.num_dice=2-env.num_faces=3-exploit_every=100-max_epochs=1000-selfplay.batch=-60727016/ckpt/epoch860.params" \
   3600 --max-chunk 128
 
-# E4 — 2x3 cfr cell with the canonical T2 net.
+# T2 + E4 — canonical 2x3 cfr and its cell.
+train 2x3cfr 7200 1 env.num_dice=2 env.num_faces=3 \
+  env.subgame_params.use_cfr=true
 evalcell 2x3f_cfr 2x3 cfr "$(netfor outputs/liars_sp/r4_2x3cfr)" \
   3600 --max-chunk 128
 
-# T3 + E5 — canonical 1x4 cfr (densest stability curve, exploit_every=50).
-# New out name for the same supersede-by-mtime reason as E3.
-train 1x4cfr 5400 2 env.subgame_params.use_cfr=true exploit_every=50
+# T3 + E5 — canonical 1x4 cfr (densest stability curve,
+# exploit_every=50, and the ONLY run paying for eval_mse curves — the
+# cheap game).  New out name for the same supersede-by-mtime reason.
+train 1x4cfr 5400 1 env.subgame_params.use_cfr=true exploit_every=50 \
+  eval_mse=true
 evalcell 1x4f_cfr_r4 1x4 cfr "$(netfor outputs/liars_sp/r4_1x4cfr)" 2400
 
 note "round4 master queue complete"

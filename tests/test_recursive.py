@@ -209,3 +209,57 @@ def test_cfr_to_leaf_uses_average_strategy_beliefs():
     ctx = full_tree_context(game, jnp.float64)
     e0, e1 = compute_exploitability2(ctx, strat)
     assert (e0 + e1) / 2 < 0.05, (e0, e1)
+
+
+def test_pallas_frontier_engine_matches_fast():
+    """Grid2FrontierSolver(engine='pallas') — the fused-kernel eval
+    path behind scripts/eval_all.py --engine pallas — must reproduce
+    the default grid engine's sampled strategies lane for lane (same
+    seeds, same recursion, f32 rounding only)."""
+    import jax
+
+    from rebel_tpu.eval.recursive import (
+        Grid2FrontierSolver,
+        compute_sampled_strategies_to_leaf_batch,
+    )
+    from rebel_tpu.nets.cfv_net import CFVNetSpec
+
+    game = LiarsDice(num_dice=1, num_faces=2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=2, linear_update=True, use_cfr=True
+    )
+    spec = CFVNetSpec(game=game, n_hidden=16, n_layers=2)
+    net_params = spec.init_params(jax.random.PRNGKey(0))
+    vf = spec.value_fn(net_params)
+    seeds = [0, 1, 2, 3]
+
+    fast = compute_sampled_strategies_to_leaf_batch(
+        game, params, vf, seeds, dtype=jnp.float32
+    )
+    fsolver = Grid2FrontierSolver(
+        game, params, jnp.float32, vf,
+        engine="pallas", net_params=net_params, lane_block=8,
+        interpret=True,
+    )
+    pal = compute_sampled_strategies_to_leaf_batch(
+        game, params, vf, seeds, dtype=jnp.float32, fsolver=fsolver
+    )
+    full = unroll_tree(game)
+    nonterm = ~full.is_terminal
+    np.testing.assert_allclose(
+        pal[:, nonterm], fast[:, nonterm], atol=2e-5
+    )
+
+
+def test_pallas_frontier_engine_rejects_f64():
+    from rebel_tpu.eval.recursive import Grid2FrontierSolver
+
+    game = LiarsDice(num_dice=1, num_faces=2)
+    params = SubgameSolvingParams(
+        num_iters=8, max_depth=2, linear_update=True, use_cfr=True
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="float32"):
+        Grid2FrontierSolver(game, params, jnp.float64, None,
+                            engine="pallas")
