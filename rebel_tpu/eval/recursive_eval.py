@@ -477,6 +477,7 @@ def run_eval(
         "game": f"{game.num_dice}x{game.num_faces}",
         "solver": "cfr" if params.use_cfr else "fp",
         "net": net_name,
+        "engine": engine,
         "exploitability": dict(results),
         "ev": {},
         "full_trajectory": trajectory,

@@ -174,6 +174,7 @@ def main():
                     "game": gstr,
                     "solver": solver,
                     "net": net_name,
+                    "engine": args.engine,
                     "full_tree": result["exploitability"].get("full_tree"),
                     "rebel": next(
                         (
