@@ -41,12 +41,34 @@ def main() -> None:
         "",
     ]
     found = False
+    # Completed f64 cells, else their streamed partials (a CPU f64 run
+    # takes many hours; a 512-repeat partial still quantifies the bias
+    # at every matched power-of-2 repeat count).
+    candidates = {}
+    for f64_path in sorted(F64_DIR.glob("eval_*_1024rep.json.*partial")):
+        cell = re.match(
+            r"eval_(.+)_1024rep\.json", f64_path.name
+        ).group(1)
+        candidates[cell] = f64_path
     for f64_path in sorted(F64_DIR.glob("eval_*_1024rep.json")):
         cell = re.match(r"eval_(.+)_1024rep\.json", f64_path.name).group(1)
+        candidates[cell] = f64_path
+    for cell, f64_path in sorted(candidates.items()):
         f32_path = pathlib.Path(F32_GLOB.format(cell=cell))
         if not f32_path.exists():
             continue
         a, b = load_row(f32_path), load_row(f64_path)
+        partial_note = ""
+        if b.get("partial"):
+            reps_done = (b.get("sampled_reports") or [{}])[-1].get(
+                "repeats", 0
+            )
+            partial_note = f" — f64 side is a partial at {reps_done} reps"
+            b = dict(
+                b,
+                full_tree=b.get("exploitability", {}).get("full_tree"),
+                rebel=None,
+            )
         if a.get("net") != b.get("net"):
             lines.append(
                 f"(skipping {cell}: f32 cell now cites a different net "
@@ -55,7 +77,10 @@ def main() -> None:
             lines.append("")
             continue
         found = True
-        lines.append(f"### {a['game']} {a['solver']} (net `{a['net']}`)")
+        lines.append(
+            f"### {a['game']} {a['solver']} (net `{a['net']}`)"
+            f"{partial_note}"
+        )
         lines.append("")
         lines.append("| field | f32 | f64 | delta |")
         lines.append("|---|---|---|---|")
