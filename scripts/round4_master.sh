@@ -1,20 +1,18 @@
 #!/bin/bash
-# Round-4 chip queue (VERDICT round 3, items 1-5), revision 2.
+# Round-4 chip queue (VERDICT round 3, items 1-5), revision 3.
 #
 # Plan, in judge-impact order:
-#   E1  1x6 cfr 1024-rep cell            [done 12:32 UTC — skipped via
-#                                         the completed-output check]
-#   T1  1x6 fp canonical retrain: 1000 epochs x 25,600 examples,
-#       decrease_lr_every=400 x2 (conf/liars_sp.yaml defaults =
-#       /root/reference/conf/c02_selfplay/liars_sp.yaml:36-37),
-#       eval_mse on (selfplay.py:568-570)
+#   E1  1x6 cfr 1024-rep cell            [done 12:32 UTC]
+#   T1  1x6 fp canonical retrain         [done 14:30 UTC: 1000 epochs x
+#       25,600 examples, decrease_lr_every=400 x2 = the reference
+#       schedule, /root/reference/conf/c02_selfplay/liars_sp.yaml:36-37]
 #   E3  1x6 fp cell with the T1 net (supersedes the 0.1088 cell)
+#   E2  2x3 fp 1024-rep cell with the round-2 epoch860 net
 #   T2  2x3 cfr canonical retrain (canonical-schedule CFR study arm
 #       AND the 2x3-cfr-cell upgrade)
-#   E2  2x3 fp 1024-rep cell with the round-2 epoch860 net
 #   E4  2x3 cfr cell with the T2 net
-#   T3  1x4 cfr canonical retrain (cheap; densest exploit curve for
-#       the CFR-stability diagnosis)
+#   T3  1x4 cfr canonical retrain (cheap; densest exploit curve +
+#       eval_mse for the CFR-stability diagnosis)
 #   E5  1x4 cfr cell with the T3 net
 #
 # Revision-2 hardening (the 12:40 UTC incident: a stray second TPU
@@ -27,6 +25,10 @@
 #     1024-repeat eval — otherwise the eval is skipped loudly;
 #   - evalcell skips cells whose completed output already exists, so
 #     the whole queue is idempotent and restartable at any time.
+# Revision 3: the four pending eval cells run --engine pallas (the
+# fused kernel, hardware-proven by the self-play generator, equality
+# pinned in tests) — the grid-engine cells were ~2h each and the
+# remaining queue would have blown past the bench deadline.
 set -u
 cd /root/repo
 LOG=/tmp/round4.log
@@ -151,26 +153,26 @@ evalcell 1x6f_cfr 1x6 cfr \
 # so the retrained net's rerun supersedes it by mtime.
 train 1x6fp 7200 2 env.num_faces=6
 evalcell 1x6f_fp_r4 1x6 fp "$(netfor outputs/liars_sp/r4_1x6fp)" \
-  3600 --max-chunk 128
+  3600 --max-chunk 128 --engine pallas
 
 # E2 — 2x3 fp cell with the existing near-canonical epoch860 net
 # (independent of T2, so it cannot be blocked by a training failure).
 evalcell 2x3f_fp 2x3 fp \
   "$R/env.num_dice=2-env.num_faces=3-exploit_every=100-max_epochs=1000-selfplay.batch=-60727016/ckpt/epoch860.params" \
-  3600 --max-chunk 128
+  3600 --max-chunk 128 --engine pallas
 
 # T2 + E4 — canonical 2x3 cfr and its cell.
 train 2x3cfr 7200 1 env.num_dice=2 env.num_faces=3 \
   env.subgame_params.use_cfr=true
 evalcell 2x3f_cfr 2x3 cfr "$(netfor outputs/liars_sp/r4_2x3cfr)" \
-  3600 --max-chunk 128
+  3600 --max-chunk 128 --engine pallas
 
 # T3 + E5 — canonical 1x4 cfr (densest stability curve,
 # exploit_every=50, and the ONLY run paying for eval_mse curves — the
 # cheap game).  New out name for the same supersede-by-mtime reason.
 train 1x4cfr 5400 1 env.subgame_params.use_cfr=true exploit_every=50 \
   eval_mse=true
-evalcell 1x4f_cfr_r4 1x4 cfr "$(netfor outputs/liars_sp/r4_1x4cfr)" 2400
+evalcell 1x4f_cfr_r4 1x4 cfr "$(netfor outputs/liars_sp/r4_1x4cfr)" 2400 --engine pallas
 
 note "round4 master queue complete"
 touch /tmp/round4.done
