@@ -352,7 +352,11 @@ class Grid2FrontierSolver:
     engine: str = "fast"
     net_params: object | None = None
     lane_block: int = 256
-    net_compute_dtype: jnp.dtype = jnp.float32
+    # None = auto: bf16 on real TPU (the kernel's production fast path —
+    # the f32 exact-erf MLP path RET_CHECK-faults in the Mosaic MXU
+    # transpose pass at eval shapes, observed live on v5e), f32 in the
+    # interpreter where exact equality with the grid engine is pinned.
+    net_compute_dtype: object | None = None
     interpret: bool = False
 
     def __post_init__(self):
@@ -366,18 +370,32 @@ class Grid2FrontierSolver:
                 )
             from rebel_tpu.solving.grid2p import Grid2PallasSolver
 
+            # Off-TPU the Mosaic kernel cannot lower; fall back to the
+            # (slow, exact) interpreter so --engine pallas still
+            # *works* everywhere it is asked for.
+            interpret = (
+                self.interpret
+                or jax.default_backend() not in ("tpu", "axon")
+            )
+            net_dtype = self.net_compute_dtype
+            if net_dtype is None:
+                net_dtype = jnp.float32 if interpret else jnp.bfloat16
             psolver = Grid2PallasSolver(
                 game=self.game,
                 params=self.params,
                 lane_block=self.lane_block,
-                net_compute_dtype=self.net_compute_dtype,
-                # Off-TPU the Mosaic kernel cannot lower; fall back to
-                # the (slow, exact) interpreter so --engine pallas
-                # still *works* everywhere it is asked for.
-                interpret=self.interpret
-                or jax.default_backend() not in ("tpu", "axon"),
+                net_compute_dtype=net_dtype,
+                interpret=interpret,
+            )
+            # jit the kernel invocation: an eager pallas_call re-traces
+            # the whole 1024-iteration kernel on every chunk (~18 s of
+            # host work per call on the tunneled chip — 100x the actual
+            # device time).  One trace per padded lane shape instead.
+            psolve = jax.jit(
+                lambda b, p, bel, t, np_: psolver.solve(b, p, bel, t, np_)
             )
             object.__setattr__(self, "_psolver", psolver)
+            object.__setattr__(self, "_psolve_jit", psolve)
             object.__setattr__(self, "_solve", None)
             return
         if self.engine != "fast":
@@ -465,7 +483,7 @@ class Grid2FrontierSolver:
                 + ([np.asarray(x[lo : lo + 1], d)] * pad if pad else []),
                 0,
             )
-            out = self._psolver.solve(
+            out = self._psolve_jit(
                 rows(bids, np.int32),
                 rows(players, np.int32),
                 rows(beliefs, np.float32),
