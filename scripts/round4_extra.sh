@@ -16,7 +16,10 @@ LOG=/tmp/round4.log
 echo "$$" > /tmp/round4_extra.pid
 note() { echo "=== $(date -u +%H:%M:%S) [extra] $*" | tee -a "$LOG"; }
 
-COMMON="exploit_every=100 max_epochs=1000 \
+# exploit_every=200: these runs' deliverable is the 1024-rep protocol
+# cell, not dense curves — and in-training evals on the grid engine
+# cost minutes each (17 min/eval observed on 2x3).
+COMMON="exploit_every=200 max_epochs=1000 \
   selfplay.batch=2048 selfplay.engine=pallas \
   selfplay.net_compute_dtype=bf16 stall_timeout_s=1800"
 MIN_EVAL_EPOCH=200
