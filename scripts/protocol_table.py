@@ -100,6 +100,14 @@ def main() -> None:
         "own protocol/tooling semantics (golden-parity tests), and repeat-count",
         "convergence below.",
         "",
+        "Each cell cites the checkpoint released for that (game, solver) —",
+        "ties at equal repeats go to the newest eval, so re-designating a",
+        "cell's released net is a touch of its eval file.  Every protocol",
+        "eval ever run is kept under results/ (e.g. the canonical epoch-990",
+        "1x4 fp retrain evaluated at 0.0437, worse than the released",
+        "epoch-180 net's 0.0343 — the only game where the canonical budget",
+        "did not improve the FP cell; see eval_1x4f_fp_r4_1024rep.json).",
+        "",
         "| game | solver | full_tree | rebel | net |",
         "|---|---|---|---|---|",
     ]
