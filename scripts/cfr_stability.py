@@ -106,7 +106,10 @@ def main() -> None:
         "   (net-value vs fresh-BR-value MSE, the reference's own",
         "   net-quality metric) drops 0.465@0 -> ~0.0005 by epoch 150 and",
         "   stays there through both halvings — while the noisy",
-        "   exploitability samples oscillate above it.",
+        "   exploitability samples oscillate above it.  At the",
+        "   1024-repeat protocol level (where the noise averages out) the",
+        "   same run is *monotone*: old epoch-140 cell 0.0231 ->",
+        "   epoch-550 0.0177 -> epoch-990 0.0076 (eval_1x4f_cfr_*.json).",
         "",
         "The decrease_lr_every=150 patch was therefore treating a",
         "measurement artifact; the reference schedule is the default",
