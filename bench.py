@@ -162,6 +162,47 @@ def measure(batch: int, num_iters: int, steps: int, warmup: int = 1,
     }
 
 
+# Capture-robustness state (round-4 postmortem: BENCH_r04 was rc=124
+# with *nothing* printed because the first JSON line only came after the
+# side measurements).  The headline JSON now prints immediately after
+# the headline measurement; a watchdog bounds the whole run (the
+# jax.devices() probe alone cannot catch a compile/execute hang on the
+# tunneled backend); SIGTERM/ALRM emit whatever has been measured.
+_progress = {"stage": "startup", "headline": None}
+
+
+def _emit_partial(reason: str):
+    head = _progress["headline"]
+    line = {
+        "metric": "CFR subgame-iters/s per chip (1x4f, depth-2, CFV net fused)",
+        "value": head["value"] if head else None,
+        "unit": "iters/s",
+        "vs_baseline": head["vs_baseline"] if head else None,
+        "error": f"{reason} (stage: {_progress['stage']})",
+    }
+    print(json.dumps(line), flush=True)
+
+
+def _install_watchdogs(deadline_s: float):
+    import signal
+    import threading
+
+    def _expire():
+        _emit_partial(f"watchdog expired after {deadline_s:.0f}s")
+        os._exit(3)
+
+    timer = threading.Timer(deadline_s, _expire)
+    timer.daemon = True
+    timer.start()
+
+    def _on_term(signum, frame):
+        _emit_partial(f"killed by signal {signum}")
+        os._exit(4)
+
+    signal.signal(signal.SIGTERM, _on_term)
+    return timer
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 8192 lanes is the measured sweet spot on a v5e chip (see
@@ -206,9 +247,27 @@ def main():
     ap.add_argument("--gelu", default="auto",
                     choices=("auto", "exact", "fast"),
                     help="GELU policy for the pallas fast path")
+    ap.add_argument(
+        "--deadline", type=float, default=540.0,
+        help="hard wall-clock bound in seconds; on expiry a partial "
+        "JSON line is printed and the process exits (0 disables). "
+        "Covers compile and execute, not just backend discovery.")
     args = ap.parse_args()
     if args.smoke:
         args.batch, args.num_iters, args.steps = 64, 32, 2
+
+    if args.deadline and not (args.cycles or args.profile):
+        _install_watchdogs(args.deadline)
+    else:
+        # No hard deadline for profiling/cycles runs, but still emit a
+        # partial line if the driver SIGTERMs one.
+        import signal
+
+        signal.signal(
+            signal.SIGTERM,
+            lambda s, f: (_emit_partial(f"killed by signal {s}"),
+                          os._exit(4)),
+        )
 
     # A dead remote-device tunnel blocks jax.devices() in native code
     # forever (observed live).  Probe it from a daemon thread so an
@@ -225,6 +284,7 @@ def main():
         except Exception:
             pass
 
+    _progress["stage"] = "backend probe"
     threading.Thread(target=_probe, daemon=True).start()
     if not backend_ok.wait(timeout=240):
         print(
@@ -260,6 +320,7 @@ def main():
                 f"cycle {cycle}: items {total_items} "
                 f"per_second {total_items / elapsed:.2f}"
             )
+    _progress["stage"] = "headline compile+measure"
     try:
         res = measure(
             args.batch, args.num_iters, args.steps, layout=args.layout, **kw
@@ -283,29 +344,7 @@ def main():
     if args.profile:
         jax.profiler.stop_trace()
 
-    # Side measurements for the record: FP-mode and solver-only
-    # throughput next to the CFR headline (the reference's
-    # gen_benchmark measures only its production config,
-    # gen_benchmark.cc:147-153).  Skipped when the caller already
-    # narrowed the run to one mode.
     side = {}
-    if not (args.headline_only or args.fp or args.no_net or args.smoke):
-        side_steps = max(1, args.steps // 2)
-        try:
-            r_fp = measure(args.batch, args.num_iters, side_steps,
-                           layout=args.layout,
-                           **{**kw, "use_cfr": False})
-            side["fp_iters_per_s"] = round(r_fp["cfr_iters_per_s"], 1)
-        except Exception as e:
-            side["fp_iters_per_s"] = f"failed: {type(e).__name__}"
-        try:
-            r_nn = measure(args.batch, args.num_iters, side_steps,
-                           layout=args.layout, **{**kw, "no_net": True})
-            side["no_net_cfr_iters_per_s"] = round(
-                r_nn["cfr_iters_per_s"], 1)
-        except Exception as e:
-            side["no_net_cfr_iters_per_s"] = f"failed: {type(e).__name__}"
-
     vs_baseline = None
     # The recorded reference baseline is CFR-only; an FP/CFR ratio
     # would be meaningless. Configuration-matched comparison
@@ -315,6 +354,7 @@ def main():
     # cpu_gen_threads mode, README.md:36-44); --no-net compares the
     # bare solver loop against the reference's zero-net bound.
     vs_zero_net_ref = None
+    zn = None
     if REF_BASELINE_PATH.exists() and not args.fp:
         ref = json.loads(REF_BASELINE_PATH.read_text())
         base = ref.get(
@@ -331,12 +371,10 @@ def main():
         zn = ref.get("zero_net_cfr_iters_per_s_60threads")
         if zn and not args.no_net:
             vs_zero_net_ref = round(res["cfr_iters_per_s"] / zn, 2)
-            nn = side.get("no_net_cfr_iters_per_s")
-            if isinstance(nn, (int, float)):
-                side["no_net_vs_zero_net_ref"] = round(nn / zn, 2)
 
     # Roofline: achieved model FLOP/s of the fused MLP (the MXU work)
-    # and MFU against the chip's bf16 peak.
+    # and MFU against the chip's bf16 peak.  No extra device work — this
+    # rides the headline measurement, so it goes in the first line.
     dev = jax.devices()[0]
     if not args.no_net:
         flops_it = mlp_model_flops_per_subgame_iter(1, 4)
@@ -348,33 +386,67 @@ def main():
             side["mfu"] = round(achieved / peak, 4)
             side["peak_bf16_tflops_assumed"] = peak / 1e12
 
-    print(
-        json.dumps(
-            {
-                "metric": ("FP" if args.fp else "CFR")
-                + " subgame-iters/s per chip (1x4f, depth-2, CFV net fused)",
-                "value": round(res["cfr_iters_per_s"], 1),
-                "unit": "iters/s",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "baseline_config": (
-                    None if args.fp else
-                    "ref -O3 60-thread bound, "
-                    + ("zero net" if args.no_net else "TorchScript net")
-                ),
-                "detail": {
-                    "vs_zero_net_ref_bound": vs_zero_net_ref,
-                    "subgames_per_s": round(res["subgames_per_s"], 1),
-                    "examples_per_s": round(res["examples_per_s"], 1),
-                    "batch": args.batch,
-                    "num_iters": args.num_iters,
-                    "wall_s": round(res["wall_s"], 2),
-                    "device": str(jax.devices()[0]),
-                    "device_kind": getattr(dev, "device_kind", None),
-                    **side,
-                },
-            }
-        )
-    )
+    def headline_line():
+        return {
+            "metric": ("FP" if args.fp else "CFR")
+            + " subgame-iters/s per chip (1x4f, depth-2, CFV net fused)",
+            "value": round(res["cfr_iters_per_s"], 1),
+            "unit": "iters/s",
+            "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            "baseline_config": (
+                None if args.fp else
+                "ref -O3 60-thread bound, "
+                + ("zero net" if args.no_net else "TorchScript net")
+            ),
+            "detail": {
+                "vs_zero_net_ref_bound": vs_zero_net_ref,
+                "subgames_per_s": round(res["subgames_per_s"], 1),
+                "examples_per_s": round(res["examples_per_s"], 1),
+                "batch": args.batch,
+                "num_iters": args.num_iters,
+                "wall_s": round(res["wall_s"], 2),
+                "device": str(jax.devices()[0]),
+                "device_kind": getattr(dev, "device_kind", None),
+                **side,
+            },
+        }
+
+    # Print the headline IMMEDIATELY: round 4 lost its capture to a
+    # hang during the (optional) side measurements below, after which
+    # nothing had been printed.  If the sides complete, a second,
+    # superset line with identical headline values follows — a tail
+    # parser picking either line records the same measurement.
+    _progress["headline"] = headline_line()
+    print(json.dumps(_progress["headline"]), flush=True)
+
+    # Side measurements for the record: FP-mode and solver-only
+    # throughput next to the CFR headline (the reference's
+    # gen_benchmark measures only its production config,
+    # gen_benchmark.cc:147-153).  Skipped when the caller already
+    # narrowed the run to one mode.
+    if not (args.headline_only or args.fp or args.no_net or args.smoke):
+        side_steps = max(1, args.steps // 2)
+        _progress["stage"] = "side measurement: fp"
+        try:
+            r_fp = measure(args.batch, args.num_iters, side_steps,
+                           layout=args.layout,
+                           **{**kw, "use_cfr": False})
+            side["fp_iters_per_s"] = round(r_fp["cfr_iters_per_s"], 1)
+        except Exception as e:
+            side["fp_iters_per_s"] = f"failed: {type(e).__name__}"
+        _progress["stage"] = "side measurement: no-net"
+        try:
+            r_nn = measure(args.batch, args.num_iters, side_steps,
+                           layout=args.layout, **{**kw, "no_net": True})
+            side["no_net_cfr_iters_per_s"] = round(
+                r_nn["cfr_iters_per_s"], 1)
+            if zn:
+                side["no_net_vs_zero_net_ref"] = round(
+                    r_nn["cfr_iters_per_s"] / zn, 2)
+        except Exception as e:
+            side["no_net_cfr_iters_per_s"] = f"failed: {type(e).__name__}"
+        _progress["stage"] = "done"
+        print(json.dumps(headline_line()), flush=True)
 
 
 if __name__ == "__main__":
