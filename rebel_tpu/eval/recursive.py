@@ -319,6 +319,24 @@ def compute_strategy_recursive_to_leaf(
     return strategy
 
 
+def resolved_net_compute_dtype(
+    engine: str, solver_dtype, requested=None, interpret: bool = False
+) -> str:
+    """The dtype the value-net MLP is actually computed in by an eval
+    engine — stamped into eval result provenance next to ``engine`` so a
+    cell records whether its net ran in bf16 (the pallas production path
+    on real TPU) or f32/f64.  Mirrors
+    :class:`Grid2FrontierSolver.__post_init__`'s selection exactly (the
+    class itself resolves through this function)."""
+    if engine != "pallas":
+        # The grid engine evaluates value_fn in the solver dtype.
+        return jnp.dtype(solver_dtype).name
+    interpret = interpret or jax.default_backend() not in ("tpu", "axon")
+    if requested is not None:
+        return jnp.dtype(requested).name
+    return "float32" if interpret else "bfloat16"
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class Grid2FrontierSolver:
     """Depth-2 frontier solver, vmapped over lanes.
@@ -370,6 +388,20 @@ class Grid2FrontierSolver:
                 )
             from rebel_tpu.solving.grid2p import Grid2PallasSolver
 
+            if self.net_params is None and self.value_fn is not None:
+                # The kernel computes the MLP in-loop from raw
+                # net_params; a value_fn alone would be silently
+                # ignored, turning a net eval into a zero-net eval.
+                if getattr(
+                    self.value_fn, "__wrapped_kind__", None
+                ) != "zero":
+                    raise ValueError(
+                        "engine='pallas' evaluates the net from raw "
+                        "net_params; a value_fn without net_params "
+                        "would silently run a zero-net eval. Pass "
+                        "net_params (the checkpoint's flax param dict) "
+                        "or drop value_fn for an explicit zero-net run."
+                    )
             # Off-TPU the Mosaic kernel cannot lower; fall back to the
             # (slow, exact) interpreter so --engine pallas still
             # *works* everywhere it is asked for.
@@ -377,9 +409,12 @@ class Grid2FrontierSolver:
                 self.interpret
                 or jax.default_backend() not in ("tpu", "axon")
             )
-            net_dtype = self.net_compute_dtype
-            if net_dtype is None:
-                net_dtype = jnp.float32 if interpret else jnp.bfloat16
+            net_dtype = jnp.dtype(
+                resolved_net_compute_dtype(
+                    "pallas", self.dtype, self.net_compute_dtype,
+                    self.interpret,
+                )
+            )
             psolver = Grid2PallasSolver(
                 game=self.game,
                 params=self.params,

@@ -29,7 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from rebel_tpu.games.liars_dice import LiarsDice
-from rebel_tpu.eval.recursive import compute_sampled_strategy_recursive_to_leaf
+from rebel_tpu.eval.recursive import (
+    compute_sampled_strategy_recursive_to_leaf,
+    resolved_net_compute_dtype as _resolved_net_dtype,
+)
 from rebel_tpu.solving.core import RootCtx, SolverContext, ValueFn
 from rebel_tpu.solving.exploitability import (
     compute_ev2,
@@ -256,6 +259,14 @@ def sampled_eval(
                     "accumulator %s does not match (sig %r vs %r); "
                     "starting fresh", acc_path, str(z["sig"]), acc_sig,
                 )
+                # Move the refused snapshot aside NOW: if this fresh run
+                # dies before its first save_acc, the partial JSON has
+                # already been restamped with the new net, and a later
+                # resume would otherwise grandfather this foreign
+                # accumulator in via the legacy-sig path.
+                stale = acc_path.with_name(acc_path.name + ".stale")
+                acc_path.replace(stale)
+                log.warning("stale accumulator moved to %s", stale)
         except Exception as e:  # corrupt snapshot: start fresh
             log.warning("could not load accumulator %s (%s)", acc_path, e)
 
@@ -380,7 +391,9 @@ def ensure_dtype_support(dtype) -> None:
     if jnp.dtype(dtype).itemsize != 8:
         return
     backend = jax.default_backend()
-    if backend not in ("cpu",):
+    # Only TPU-family backends truncate f64 to f32; CUDA/ROCm have real
+    # f64 arithmetic and just need x64 mode like CPU.
+    if backend in ("tpu", "axon"):
         raise RuntimeError(
             f"float64 solving requested on backend {backend!r}, which "
             "has no f64 arithmetic (values silently truncate to f32 "
@@ -478,6 +491,9 @@ def run_eval(
         "solver": "cfr" if params.use_cfr else "fp",
         "net": net_name,
         "engine": engine,
+        # bf16 on the pallas production path on real TPU, f32/f64
+        # elsewhere — a cell's dtype provenance next to its engine.
+        "net_compute_dtype": _resolved_net_dtype(engine, dtype),
         "exploitability": dict(results),
         "ev": {},
         "full_trajectory": trajectory,
@@ -524,8 +540,13 @@ def run_eval(
             # Engines agree only to f32 rounding, so a cell never mixes
             # them across a resume; default-engine sigs stay unchanged.
             acc_sig += f"-engine={engine}"
+        # Grandfathering applies only to the fast engine: every
+        # pre-net-sig accumulator was produced by it, so a pallas resume
+        # accepting one would blend fast-f32 and pallas-bf16 strategies
+        # into one cell.
         sig_alt = (legacy_sig,) if (
-            resume and net_name and prior_net == net_name
+            engine == "fast" and resume and net_name
+            and prior_net == net_name
         ) else ()
         final, reports = sampled_eval(
             game, params, value_fn, num_repeats, full_strategy,
@@ -555,6 +576,7 @@ def run_eval(
         "full_trajectory": trajectory,
         "sampled_reports": reports,
         "immediate_regrets": regret_summary,
+        "net_compute_dtype": _resolved_net_dtype(engine, dtype),
     }
 
 

@@ -32,6 +32,10 @@ def zero_value_fn(game: LiarsDice):
     def value_fn(queries: jnp.ndarray) -> jnp.ndarray:
         return jnp.zeros(queries.shape[:-1] + (game.num_hands,), queries.dtype)
 
+    # Marker consumed by Grid2FrontierSolver's pallas-engine guard: a
+    # zero value_fn without net_params is a legitimate zero-net eval,
+    # any other value_fn without net_params would be silently ignored.
+    value_fn.__wrapped_kind__ = "zero"
     return value_fn
 
 

