@@ -37,6 +37,7 @@ def main() -> None:
             if 0 < rec["_max_reps"] < 1024:
                 rec["solver"] += f" ({rec['_max_reps']} reps)"
             rows.append(rec)
+    all_rows = list(rows)
     # One row per (game, base solver): keep the deepest-repeat complete
     # run; at equal repeats the newest eval wins (a retrained net's
     # protocol rerun supersedes the old cell).
@@ -129,6 +130,46 @@ def main() -> None:
             f"| {r['game']} | {r['solver']} | {fmt(r['full_tree'])} "
             f"| {fmt(r['rebel'])} | `{net}` |"
         )
+
+    # Per-cell checkpoint sweeps: every complete 1024-repeat eval ever
+    # run for the cell, so the released number is visibly the best of a
+    # multi-checkpoint sweep (the reference evaluates three epochs per
+    # run, /root/reference/scripts/eval_all.py:35) rather than a single
+    # lucky draw.  The cited row is the one in the table above.
+    cited = {
+        (r["game"], r["solver"].split(" ")[0]): r.get("_file") for r in rows
+    }
+    sweeps = {}
+    for rec in all_rows:
+        if rec["_max_reps"] != 1024 or rec.get("rebel") is None:
+            continue
+        key = (rec["game"], rec["solver"].split(" ")[0])
+        sweeps.setdefault(key, []).append(rec)
+    sweep_lines = []
+    for key in sorted(sweeps):
+        group = sorted(sweeps[key], key=lambda r: r["rebel"])
+        if len(group) < 2:
+            continue
+        sweep_lines.append(f"### {key[0]} {key[1]}")
+        sweep_lines.append("")
+        sweep_lines.append("| net | rebel | cited |")
+        sweep_lines.append("|---|---|---|")
+        for r in group:
+            net = r.get("net") or "none"
+            if "/" in net:
+                net = (
+                    os.path.basename(os.path.dirname(os.path.dirname(net)))
+                    + "/" + os.path.basename(net)
+                )
+            mark = "**yes**" if r.get("_file") == cited.get(key) else ""
+            sweep_lines.append(f"| `{net}` | {r['rebel']:.4f} | {mark} |")
+        sweep_lines.append("")
+    if sweep_lines:
+        lines += [
+            "",
+            "## Checkpoint sweeps per cell (every complete 1024-rep eval)",
+            "",
+        ] + sweep_lines
 
     lines += [
         "",
