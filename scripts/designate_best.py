@@ -40,11 +40,19 @@ def main() -> None:
     for (game, solver), entries in sorted(cells.items()):
         entries.sort(key=lambda e: e[0])
         best_val, best_path, best_net = entries[0]
-        newest = max(entries, key=lambda e: e[1].stat().st_mtime)
         print(f"{game} {solver}: best {best_val:.4f} ({best_path.name})")
         for val, p, net in entries[1:]:
             print(f"    also {val:.4f} ({p.name})")
-        if newest[1] != best_path:
+        # The table's supersede rule is strictly-newer mtime; a fresh
+        # checkout gives every file the SAME mtime, under which the
+        # alphabetically-first file wins. Touch unless the best file is
+        # already strictly newest.
+        best_mtime = best_path.stat().st_mtime
+        if any(
+            p.stat().st_mtime >= best_mtime
+            for _, p, _ in entries
+            if p != best_path
+        ):
             os.utime(best_path)
             print(f"    touched {best_path.name} to designate it")
 

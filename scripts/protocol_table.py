@@ -119,17 +119,46 @@ def main() -> None:
     def fmt(v):
         return f"{v:.4f}" if v is not None else "—"
 
+    def net_display(net):
+        """Short display name + availability of the cited params file.
+
+        Eval JSONs stamp the net path as trained (often under the
+        untracked ``outputs/``); surviving nets are re-homed to
+        ``results/liars_sp/<exp>/ckpt/`` per results/POLICY.md, so check
+        there too.  A net found in neither is annotated ``(net lost)``
+        — the eval JSON is then the only surviving record of the cell
+        (the round-4 -> round-5 boundary lost every params file that
+        had not been force-added; see the provenance note below)."""
+        if not net or "/" not in net:
+            return net or "none", False
+        exp = os.path.basename(os.path.dirname(os.path.dirname(net)))
+        base = os.path.basename(net)
+        short = f"{exp}/{base}"
+        exists = (
+            (_REPO / net).exists()
+            or pathlib.Path(net).exists()
+            or (_REPO / "results/liars_sp" / exp / "ckpt" / base).exists()
+        )
+        return short, not exists
+
+    any_lost = False
     for r in rows:
-        net = r.get("net") or "none"
-        if "/" in net:
-            net = (
-                os.path.basename(os.path.dirname(os.path.dirname(net)))
-                + "/" + os.path.basename(net)
-            )
+        net, lost = net_display(r.get("net"))
+        any_lost |= lost
         lines.append(
             f"| {r['game']} | {r['solver']} | {fmt(r['full_tree'])} "
-            f"| {fmt(r['rebel'])} | `{net}` |"
+            f"| {fmt(r['rebel'])} | `{net}`{' (net lost)' if lost else ''} |"
         )
+    if any_lost:
+        lines += [
+            "",
+            "Cells marked *(net lost)* cite a checkpoint whose params file",
+            "no longer exists: run dirs lived under the untracked",
+            "``outputs/`` and only force-added cited nets survived the",
+            "round-4 container reset (results/POLICY.md). The eval JSON is",
+            "the surviving record; the cell is superseded as soon as a",
+            "retrained canonical net posts a complete 1024-repeat eval.",
+        ]
 
     # Per-cell checkpoint sweeps: every complete 1024-repeat eval ever
     # run for the cell, so the released number is visibly the best of a
@@ -155,14 +184,12 @@ def main() -> None:
         sweep_lines.append("| net | rebel | cited |")
         sweep_lines.append("|---|---|---|")
         for r in group:
-            net = r.get("net") or "none"
-            if "/" in net:
-                net = (
-                    os.path.basename(os.path.dirname(os.path.dirname(net)))
-                    + "/" + os.path.basename(net)
-                )
+            net, lost = net_display(r.get("net"))
             mark = "**yes**" if r.get("_file") == cited.get(key) else ""
-            sweep_lines.append(f"| `{net}` | {r['rebel']:.4f} | {mark} |")
+            sweep_lines.append(
+                f"| `{net}`{' (net lost)' if lost else ''} "
+                f"| {r['rebel']:.4f} | {mark} |"
+            )
         sweep_lines.append("")
     if sweep_lines:
         lines += [
