@@ -14,6 +14,7 @@ Usage: python scripts/designate_best.py   (from anywhere)
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import pathlib
@@ -21,9 +22,16 @@ import pathlib
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def main() -> None:
+def main(results_dir: pathlib.Path | None = None) -> None:
+    if results_dir is None:
+        ap = argparse.ArgumentParser()
+        ap.add_argument(
+            "--results", default=str(REPO / "results"),
+            help="directory holding eval_*_1024rep.json files",
+        )
+        results_dir = pathlib.Path(ap.parse_args().results)
     cells: dict[tuple, list] = {}
-    for path in sorted((REPO / "results").glob("eval_*_1024rep.json")):
+    for path in sorted(results_dir.glob("eval_*_1024rep.json")):
         try:
             rows = json.loads(path.read_text())
         except Exception:

@@ -1,0 +1,139 @@
+"""Regression tests for the protocol-table tooling (scripts/).
+
+The round-4 -> round-5 container reset exposed two silent failure
+modes in the results pipeline (the analog of the reference's
+``scripts/eval_all.py`` pivot, /root/reference/scripts/eval_all.py:124-158):
+
+1. A fresh checkout gives every eval JSON the same mtime, under which
+   the table's supersede-by-newest rule degenerated to alphabetical
+   order and re-cited long-superseded cells.
+2. Cited checkpoints whose params files were lost at the round
+   boundary were presented as if still reproducible.
+
+These tests pin the fixes: designation touches the best complete eval
+per cell even under exactly-equal mtimes, and the generated table
+annotates citations whose net file cannot be found.
+"""
+
+import importlib.util
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, REPO / "scripts" / f"{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _cell(game, solver, rebel, net, reps=1024):
+    reports = [
+        {"repeats": r, "exploitability": rebel, "ev_full": 0.0}
+        for r in (1, reps)
+    ]
+    return [
+        {
+            "game": game,
+            "solver": solver,
+            "net": net,
+            "full_tree": 0.001,
+            "rebel": rebel,
+            "sampled_reports": reports,
+        }
+    ]
+
+
+def test_designate_best_touches_under_equal_mtimes(tmp_path):
+    a = tmp_path / "eval_1x4f_cfr_old_1024rep.json"
+    b = tmp_path / "eval_1x4f_cfr_new_1024rep.json"
+    a.write_text(json.dumps(_cell("1x4", "cfr", 0.02, "old/epochA.params")))
+    b.write_text(json.dumps(_cell("1x4", "cfr", 0.01, "new/epochB.params")))
+    # Simulate a fresh checkout: identical mtimes on every file.
+    t = 1_700_000_000
+    os.utime(a, (t, t))
+    os.utime(b, (t, t))
+
+    _load("designate_best").main(results_dir=tmp_path)
+
+    assert b.stat().st_mtime > a.stat().st_mtime, (
+        "best cell must end strictly newest even when all mtimes tie"
+    )
+
+
+def test_designate_best_keeps_strictly_newest_best(tmp_path):
+    a = tmp_path / "eval_1x4f_cfr_old_1024rep.json"
+    b = tmp_path / "eval_1x4f_cfr_new_1024rep.json"
+    a.write_text(json.dumps(_cell("1x4", "cfr", 0.02, "old/epochA.params")))
+    b.write_text(json.dumps(_cell("1x4", "cfr", 0.01, "new/epochB.params")))
+    t = 1_700_000_000
+    os.utime(a, (t, t))
+    os.utime(b, (t + 100, t + 100))
+    before = b.stat().st_mtime
+
+    _load("designate_best").main(results_dir=tmp_path)
+
+    assert b.stat().st_mtime == before, "already-designated cell untouched"
+
+
+def test_protocol_table_cites_designated_and_marks_lost_nets(tmp_path):
+    res = tmp_path / "results"
+    res.mkdir()
+    # A real (existing) net file for the new cell.
+    run = tmp_path / "run" / "ckpt"
+    run.mkdir(parents=True)
+    good_net = run / "epoch990.params"
+    good_net.write_bytes(b"x")
+    old = res / "eval_1x4f_cfr_old_1024rep.json"
+    new = res / "eval_1x4f_cfr_new_1024rep.json"
+    old.write_text(
+        json.dumps(_cell("1x4", "cfr", 0.02, "gone/ckpt/epoch1.params"))
+    )
+    new.write_text(json.dumps(_cell("1x4", "cfr", 0.01, str(good_net))))
+    t = 1_700_000_000
+    os.utime(old, (t, t))
+    os.utime(new, (t, t))
+    out = tmp_path / "TABLE.md"
+
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "designate_best.py"),
+            "--results",
+            str(res),
+        ],
+        check=True,
+        env=env,
+    )
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "scripts" / "protocol_table.py"),
+            "--glob",
+            str(res / "eval_*.json"),
+            "--out",
+            str(out),
+        ],
+        check=True,
+        env=env,
+    )
+    text = out.read_text()
+    # The designated (best) cell is cited in the headline table...
+    (row,) = [
+        line
+        for line in text.splitlines()
+        if line.startswith("| 1x4 | cfr |")
+    ]
+    assert "0.0100" in row and "epoch990.params" in row
+    assert "(net lost)" not in row
+    # ...and the sweep section marks the superseded cell's vanished net.
+    assert "`run/epoch990.params` | 0.0100 | **yes**" in text
+    assert "`gone/epoch1.params` (net lost) | 0.0200" in text
