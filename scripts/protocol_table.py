@@ -243,6 +243,17 @@ def main() -> None:
             f64_footnote.main()
         except Exception as e:  # footnote is best-effort decoration
             print(f"(f64 footnote skipped: {type(e).__name__}: {e})")
+        # The engine/dtype ladder re-appends AFTER the f64 footnote,
+        # whose marker-truncation would otherwise erase it.
+        try:
+            spec = importlib.util.spec_from_file_location(
+                "dtype_ladder", repo / "scripts/dtype_ladder.py"
+            )
+            dtype_ladder = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(dtype_ladder)
+            dtype_ladder.main()
+        except Exception as e:
+            print(f"(dtype ladder skipped: {type(e).__name__}: {e})")
     start = lines.index("| game | solver | full_tree | rebel | net |")
     for line in lines[start : start + 2 + len(rows)]:
         print(line)
