@@ -137,3 +137,37 @@ def test_protocol_table_cites_designated_and_marks_lost_nets(tmp_path):
     # ...and the sweep section marks the superseded cell's vanished net.
     assert "`run/epoch990.params` | 0.0100 | **yes**" in text
     assert "`gone/epoch1.params` (net lost) | 0.0200" in text
+
+
+def test_dtype_ladder_groups_rungs_of_same_cell(tmp_path, monkeypatch):
+    mod = _load("dtype_ladder")
+    res = tmp_path / "results"
+    (res / "f64").mkdir(parents=True)
+    net = "exp/ckpt/epoch990.params"
+    pallas = _cell("1x4", "cfr", 0.0076, net)
+    pallas[0]["engine"] = "pallas"
+    fast = _cell("1x4", "cfr", 0.0080, net)
+    (res / "eval_1x4f_cfr_pal_1024rep.json").write_text(json.dumps(pallas))
+    (res / "eval_1x4f_cfr_fast_1024rep.json").write_text(json.dumps(fast))
+    (res / "f64" / "eval_1x4f_cfr_fast_1024rep.json").write_text(
+        json.dumps(_cell("1x4", "cfr", 0.0085, net))
+    )
+    proto = res / "PROTOCOL.md"
+    proto.write_text("# table\n")
+    monkeypatch.setattr(mod, "_REPO", tmp_path)
+    mod.main()
+    text = proto.read_text()
+    assert "## Engine/dtype ladder" in text
+    assert "### 1x4 cfr (net `exp/epoch990.params`)" in text
+    (row,) = [
+        line
+        for line in text.splitlines()
+        if line.startswith("| rebel (1024 reps)")
+    ]
+    # Column order is sorted rung labels: fast f32, fast f64, pallas.
+    assert row.split("|")[2:5] == [
+        " 0.008000 ", " 0.008500 ", " 0.007600 "
+    ]
+    # Idempotent: rerunning replaces, not duplicates.
+    mod.main()
+    assert proto.read_text().count("## Engine/dtype ladder") == 1
