@@ -10,6 +10,13 @@ BEST of them, not the last one evaluated.  This script touches the
 minimum-exploitability complete file per cell so mtime order equals
 merit order, and prints the spread for the sweep section.
 
+A record whose cited params file no longer exists (the round-4
+boundary wiped untracked checkpoints) is never designated while a
+reproducible record exists: the reference's convention releases the
+checkpoint behind every published cell, so an un-releasable net cannot
+hold the citation.  Lost records stay visible in the sweep section,
+annotated "(net lost)".
+
 Usage: python scripts/designate_best.py   (from anywhere)
 """
 from __future__ import annotations
@@ -45,12 +52,29 @@ def main(results_dir: pathlib.Path | None = None) -> None:
             cells.setdefault((rec["game"], rec["solver"]), []).append(
                 (rec["rebel"], path, rec.get("net"))
             )
+    def net_exists(net: str | None) -> bool:
+        if not net:
+            return False
+        exp = os.path.basename(os.path.dirname(os.path.dirname(net)))
+        base = os.path.basename(net)
+        return (
+            (REPO / net).exists()
+            or pathlib.Path(net).exists()
+            or (REPO / "results/liars_sp" / exp / "ckpt" / base).exists()
+        )
+
     for (game, solver), entries in sorted(cells.items()):
         entries.sort(key=lambda e: e[0])
-        best_val, best_path, best_net = entries[0]
+        # Only records whose net survives are designatable (see
+        # docstring); fall back to the full list if every net is lost.
+        live = [e for e in entries if net_exists(e[2])]
+        best_val, best_path, best_net = (live or entries)[0]
         print(f"{game} {solver}: best {best_val:.4f} ({best_path.name})")
-        for val, p, net in entries[1:]:
-            print(f"    also {val:.4f} ({p.name})")
+        for val, p, net in entries:
+            if p == best_path:
+                continue
+            gone = "" if net_exists(net) else " [net lost]"
+            print(f"    also {val:.4f} ({p.name}){gone}")
         # The table's supersede rule is strictly-newer mtime; a fresh
         # checkout gives every file the SAME mtime, under which the
         # alphabetically-first file wins. Touch unless the best file is

@@ -175,6 +175,7 @@ def main() -> None:
         key = (rec["game"], rec["solver"].split(" ")[0])
         sweeps.setdefault(key, []).append(rec)
     sweep_lines = []
+    sweep_lost = False
     for key in sorted(sweeps):
         group = sorted(sweeps[key], key=lambda r: r["rebel"])
         if len(group) < 2:
@@ -185,6 +186,7 @@ def main() -> None:
         sweep_lines.append("|---|---|---|")
         for r in group:
             net, lost = net_display(r.get("net"))
+            sweep_lost |= lost
             mark = "**yes**" if r.get("_file") == cited.get(key) else ""
             sweep_lines.append(
                 f"| `{net}`{' (net lost)' if lost else ''} "
@@ -197,6 +199,16 @@ def main() -> None:
             "## Checkpoint sweeps per cell (every complete 1024-rep eval)",
             "",
         ] + sweep_lines
+        if sweep_lost and not any_lost:
+            lines += [
+                "Rows marked *(net lost)*: the params file behind the",
+                "record no longer exists (untracked checkpoints did not",
+                "survive the round-4 container reset; results/POLICY.md).",
+                "Such records are never designated as the cited cell while",
+                "a reproducible record exists — the reference's convention",
+                "releases the checkpoint behind every published number.",
+                "",
+            ]
 
     lines += [
         "",

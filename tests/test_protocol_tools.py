@@ -139,6 +139,33 @@ def test_protocol_table_cites_designated_and_marks_lost_nets(tmp_path):
     assert "`gone/epoch1.params` (net lost) | 0.0200" in text
 
 
+def test_designate_best_skips_records_with_lost_nets(tmp_path):
+    lost = tmp_path / "eval_1x5f_cfr_lost_1024rep.json"
+    live = tmp_path / "eval_1x5f_cfr_live_1024rep.json"
+    net_dir = tmp_path / "run" / "ckpt"
+    net_dir.mkdir(parents=True)
+    (net_dir / "epoch990.params").write_bytes(b"x")
+    # The lost record is BETTER but its net file is gone.
+    lost.write_text(
+        json.dumps(_cell("1x5", "cfr", 0.0148, "gone/ckpt/epoch930.params"))
+    )
+    live.write_text(
+        json.dumps(
+            _cell("1x5", "cfr", 0.0181, str(net_dir / "epoch990.params"))
+        )
+    )
+    t = 1_700_000_000
+    os.utime(lost, (t + 50, t + 50))  # lost record currently designated
+    os.utime(live, (t, t))
+
+    _load("designate_best").main(results_dir=tmp_path)
+
+    assert live.stat().st_mtime > lost.stat().st_mtime, (
+        "the reproducible record must hold the citation over a better "
+        "but lost one"
+    )
+
+
 def test_dtype_ladder_groups_rungs_of_same_cell(tmp_path, monkeypatch):
     mod = _load("dtype_ladder")
     res = tmp_path / "results"
