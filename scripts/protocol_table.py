@@ -198,6 +198,19 @@ def main() -> None:
             "",
             "## Checkpoint sweeps per cell (every complete 1024-rep eval)",
             "",
+            "The reference's convention evaluates three checkpoints per",
+            "run (epochs 980/1000/1020,",
+            "/root/reference/scripts/eval_all.py:35) to absorb",
+            "checkpoint-to-checkpoint variance.  The analog here is the",
+            "union of every complete 1024-repeat eval per cell, across",
+            "runs and epochs; the r5_1x4fp sweep (five epochs of one",
+            "canonical run, spread 0.0280-0.0496) measures that variance",
+            "directly.  A within-±20-epochs triple is not reproducible",
+            "for the other canonical runs: only each run's designated",
+            "epoch-990 params survived the round-4 container reset",
+            "(results/POLICY.md), and no full training state exists to",
+            "resume a run to its 1010/1030 neighbors.",
+            "",
         ] + sweep_lines
         if sweep_lost and not any_lost:
             lines += [
