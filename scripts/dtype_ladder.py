@@ -77,13 +77,17 @@ def main() -> None:
         "(per-seed strategies are deterministic in the seed index, so",
         "rungs differ only in dtype/engine rounding):",
         "",
-        "Direction, across every pair measured (round 5): **lower",
-        "precision evaluates to equal-or-lower exploitability of the",
-        "reach-weighted average** — pallas-bf16 ≤ fast-f32 on 1x4 cfr",
-        "(0.0076 vs 0.0224), 1x4 fp (0.0280 vs 0.0363) and 1x5 cfr",
-        "(0.0181 vs 0.0201), and fast-f32 ≤ fast-f64 on the one cell",
-        "with an f64 rung (0.0231 vs 0.0273).  The magnitude varies",
-        "(3x, 1.3x, 1.1x, 1.2x).  The exploitability of a *given*",
+        "Direction (round 5): **the production bf16 path never",
+        "measures materially worse than f32, and usually better** —",
+        "pallas-bf16 ≤ fast-f32 on 1x4 cfr (0.0076 vs 0.0224), 1x4 fp",
+        "(0.0280 vs 0.0363) and 1x5 cfr (0.0181 vs 0.0201), and",
+        "fast-f32 ≤ fast-f64 on the one cell with an f64 rung (0.0231",
+        "vs 0.0273).  The magnitude varies (3x, 1.3x, 1.1x, 1.2x), and",
+        "it is not universal: the 1x6 cfr fast rung (streamed partial,",
+        "hard-stopped at 256 repeats) reads 0.0201 vs pallas's 0.0217",
+        "at the matched 256-repeat row — parity-to-slightly-reversed,",
+        "within the repeat noise seen in the convergence tables.",
+        "The exploitability of a *given*",
         "averaged strategy is computed identically (exact best",
         "response) on every rung, so this is a property of the",
         "strategies produced, not of the measurement: per-iteration",
