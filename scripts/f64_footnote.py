@@ -72,7 +72,19 @@ def main() -> None:
                 full_tree=b.get("exploitability", {}).get("full_tree"),
                 rebel=None,
             )
-        if a.get("net") != b.get("net"):
+        def net_key(rec):
+            # Compare by exp-dir basename + params filename: the same
+            # net file is cited as outputs/liars_sp/<exp>/... by
+            # round-4 evals and results/liars_sp/<exp>/... after the
+            # round-5 tracking policy moved run dirs under results/.
+            net = rec.get("net") or ""
+            import os
+            return (
+                os.path.basename(os.path.dirname(os.path.dirname(net))),
+                os.path.basename(net),
+            )
+
+        if net_key(a) != net_key(b):
             lines.append(
                 f"(skipping {cell}: f32 cell now cites a different net "
                 f"`{a.get('net')}` than the f64 run `{b.get('net')}`)"
