@@ -198,3 +198,48 @@ def test_dtype_ladder_groups_rungs_of_same_cell(tmp_path, monkeypatch):
     # Idempotent: rerunning replaces, not duplicates.
     mod.main()
     assert proto.read_text().count("## Engine/dtype ladder") == 1
+
+
+def test_f64_footnote_pairs_nets_across_path_prefixes(tmp_path, monkeypatch):
+    """The same net is cited as ``outputs/liars_sp/<exp>/...`` by
+    round-4 evals and ``results/liars_sp/<exp>/...`` after the round-5
+    tracking-policy move; the footnote must pair by exp-dir + filename,
+    not by the raw path string (a raw-string compare silently dropped
+    the refreshed epoch-990 cross-check in round 5)."""
+    mod = _load("f64_footnote")
+    res = tmp_path / "results"
+    (res / "f64").mkdir(parents=True)
+    f32 = _cell(
+        "1x4", "cfr", 0.0076, "outputs/liars_sp/r4_1x4cfr/ckpt/epoch990.params"
+    )
+    f64 = _cell(
+        "1x4", "cfr", 0.0080, "results/liars_sp/r4_1x4cfr/ckpt/epoch990.params"
+    )
+    (res / "eval_1x4f_cfr_r4b_1024rep.json").write_text(json.dumps(f32))
+    (res / "f64" / "eval_1x4f_cfr_r4b_1024rep.json").write_text(
+        json.dumps(f64)
+    )
+    proto = res / "PROTOCOL.md"
+    proto.write_text("# table\n")
+    monkeypatch.setattr(mod, "_REPO", tmp_path)
+    monkeypatch.setattr(
+        mod, "F32_GLOB", str(res / "eval_{cell}_1024rep.json")
+    )
+    monkeypatch.setattr(mod, "F64_DIR", res / "f64")
+    mod.main()
+    text = proto.read_text()
+    assert "## f64 cross-check" in text
+    assert "skipping" not in text
+    assert "### 1x4 cfr" in text
+    # A truly different net must still be refused: with no valid pair
+    # left, main() declines to rewrite the footnote (the previous text
+    # stays) rather than pairing mismatched nets.
+    before = proto.read_text()
+    other = _cell(
+        "1x4", "cfr", 0.0080, "results/liars_sp/OTHER/ckpt/epoch990.params"
+    )
+    (res / "f64" / "eval_1x4f_cfr_r4b_1024rep.json").write_text(
+        json.dumps(other)
+    )
+    mod.main()
+    assert proto.read_text() == before
